@@ -1,0 +1,318 @@
+"""Shared layers for the score networks (NHWC, flax.linen).
+
+Port of the building blocks in `/root/reference/models/layers.py` and
+`models/layerspp.py`, re-designed for TPU: NHWC layout, channels-last
+contractions (MXU-friendly), initializers expressed as flax initializers.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indm_tpu import ops
+
+
+def get_act(name: str) -> Callable:
+  """Activation dispatch (`models/layers.py:29-41`)."""
+  name = name.lower()
+  if name == "elu":
+    return jax.nn.elu
+  if name == "relu":
+    return jax.nn.relu
+  if name == "lrelu":
+    return lambda x: jax.nn.leaky_relu(x, 0.2)
+  if name == "swish":
+    return jax.nn.silu
+  raise NotImplementedError(f"activation {name} does not exist")
+
+
+def default_init(scale: float = 1.0):
+  """DDPM initializer: variance-scaling fan_avg uniform
+  (`models/layers.py:54-91`)."""
+  scale = 1e-10 if scale == 0 else scale
+  return nn.initializers.variance_scaling(scale, "fan_avg", "uniform")
+
+
+def conv3x3(out_ch: int, init_scale: float = 1.0, stride: int = 1,
+            bias: bool = True, padding="SAME", name=None) -> nn.Conv:
+  """3x3 conv with DDPM init (`models/layers.py:118-124`)."""
+  return nn.Conv(out_ch, (3, 3), strides=(stride, stride), padding=padding,
+                 use_bias=bias, kernel_init=default_init(init_scale),
+                 bias_init=nn.initializers.zeros, name=name)
+
+
+def conv1x1(out_ch: int, init_scale: float = 1.0, stride: int = 1,
+            bias: bool = True, name=None) -> nn.Conv:
+  """1x1 conv with DDPM init (`models/layers.py:100-105`)."""
+  return nn.Conv(out_ch, (1, 1), strides=(stride, stride), padding="SAME",
+                 use_bias=bias, kernel_init=default_init(init_scale),
+                 bias_init=nn.initializers.zeros, name=name)
+
+
+def get_timestep_embedding(timesteps: jnp.ndarray, embedding_dim: int,
+                           max_positions: int = 10000) -> jnp.ndarray:
+  """Sinusoidal embedding (`models/layers.py:515-530`)."""
+  assert timesteps.ndim == 1
+  half_dim = embedding_dim // 2
+  emb = math.log(max_positions) / (half_dim - 1)
+  emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+  emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+  emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+  if embedding_dim % 2 == 1:
+    emb = jnp.pad(emb, ((0, 0), (0, 1)))
+  assert emb.shape == (timesteps.shape[0], embedding_dim)
+  return emb
+
+
+class NIN(nn.Module):
+  """1x1 channel mixing via einsum (`models/layers.py:532-556`)."""
+  num_units: int
+  init_scale: float = 0.1
+
+  @nn.compact
+  def __call__(self, x):
+    in_dim = x.shape[-1]
+    W = self.param("W", default_init(self.init_scale),
+                   (in_dim, self.num_units))
+    b = self.param("b", nn.initializers.zeros, (self.num_units,))
+    return jnp.einsum("...c,cd->...d", x, W) + b
+
+
+class GaussianFourierProjection(nn.Module):
+  """Gaussian Fourier features for noise levels
+  (`models/layerspp.py:45-54`). W is a fixed random buffer."""
+  embedding_size: int = 256
+  scale: float = 1.0
+
+  @nn.compact
+  def __call__(self, x):
+    W = self.variable(
+        "buffers", "W",
+        lambda: jax.random.normal(self.make_rng("params"),
+                                  (self.embedding_size,)) * self.scale)
+    x_proj = x[:, None] * W.value[None, :] * 2 * jnp.pi
+    return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
+
+
+def fixed_fourier_projection(x):
+  """Fixed input Fourier features (+4C channels)
+  (`models/layerspp.py:31-43`), NHWC."""
+  s1 = jnp.sin(x * 128 * jnp.pi)
+  c1 = jnp.cos(x * 128 * jnp.pi)
+  s2 = jnp.sin(x * 256 * jnp.pi)
+  c2 = jnp.cos(x * 256 * jnp.pi)
+  return jnp.concatenate([x, s1, c1, s2, c2], axis=-1)
+
+
+def group_norm(x_ch: int) -> nn.GroupNorm:
+  return nn.GroupNorm(num_groups=min(x_ch // 4, 32), epsilon=1e-6)
+
+
+class Combine(nn.Module):
+  """Combine skip pyramid (`models/layerspp.py:57-72`)."""
+  dim2: int
+  method: str = "cat"
+
+  @nn.compact
+  def __call__(self, x, y):
+    h = conv1x1(self.dim2)(x)
+    if self.method == "cat":
+      return jnp.concatenate([h, y], axis=-1)
+    if self.method == "sum":
+      return h + y
+    raise ValueError(f"Method {self.method} not recognized.")
+
+
+class AttnBlockpp(nn.Module):
+  """Spatial self-attention over HxW positions
+  (`models/layerspp.py:75-104`), NHWC einsum form. At 16x16 this is a
+  256-token single-head attention; XLA fuses the two einsums + softmax."""
+  skip_rescale: bool = False
+  init_scale: float = 0.0
+
+  @nn.compact
+  def __call__(self, x):
+    B, H, W, C = x.shape
+    h = group_norm(C)(x)
+    q = NIN(C)(h)
+    k = NIN(C)(h)
+    v = NIN(C)(h)
+    w = jnp.einsum("bhwc,bijc->bhwij", q, k) * (int(C) ** (-0.5))
+    w = w.reshape(B, H, W, H * W)
+    w = jax.nn.softmax(w, axis=-1)
+    w = w.reshape(B, H, W, H, W)
+    h = jnp.einsum("bhwij,bijc->bhwc", w, v)
+    h = NIN(C, init_scale=self.init_scale)(h)
+    if not self.skip_rescale:
+      return x + h
+    return (x + h) / np.sqrt(2.0)
+
+
+class Upsample(nn.Module):
+  """`models/layerspp.py:107-139`, NHWC."""
+  out_ch: Optional[int] = None
+  with_conv: bool = False
+  fir: bool = False
+  fir_kernel: Sequence[int] = (1, 3, 3, 1)
+
+  @nn.compact
+  def __call__(self, x):
+    B, H, W, C = x.shape
+    out_ch = self.out_ch or C
+    if not self.fir:
+      h = jax.image.resize(x, (B, H * 2, W * 2, C), "nearest")
+      if self.with_conv:
+        h = conv3x3(out_ch)(h)
+    else:
+      if not self.with_conv:
+        h = ops.upsample_2d(x, self.fir_kernel, factor=2)
+      else:
+        h = FIRConv2d(out_ch, kernel=3, up=True,
+                      resample_kernel=self.fir_kernel)(x)
+    return h
+
+
+class Downsample(nn.Module):
+  """`models/layerspp.py:142-176`, NHWC."""
+  out_ch: Optional[int] = None
+  with_conv: bool = False
+  fir: bool = False
+  fir_kernel: Sequence[int] = (1, 3, 3, 1)
+
+  @nn.compact
+  def __call__(self, x):
+    B, H, W, C = x.shape
+    out_ch = self.out_ch or C
+    if not self.fir:
+      if self.with_conv:
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x = conv3x3(out_ch, stride=2, padding="VALID")(x)
+      else:
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+    else:
+      if not self.with_conv:
+        x = ops.downsample_2d(x, self.fir_kernel, factor=2)
+      else:
+        x = FIRConv2d(out_ch, kernel=3, down=True,
+                      resample_kernel=self.fir_kernel)(x)
+    return x
+
+
+class FIRConv2d(nn.Module):
+  """StyleGAN2 conv with fused FIR up/down sampling
+  (`models/up_or_down_sampling.py:23-56`), NHWC/HWIO."""
+  out_ch: int
+  kernel: int = 3
+  up: bool = False
+  down: bool = False
+  resample_kernel: Sequence[int] = (1, 3, 3, 1)
+  use_bias: bool = True
+  kernel_init: Callable = default_init()
+
+  @nn.compact
+  def __call__(self, x):
+    assert not (self.up and self.down)
+    in_ch = x.shape[-1]
+    w = self.param("weight", self.kernel_init,
+                   (self.kernel, self.kernel, in_ch, self.out_ch))
+    if self.up:
+      x = ops.upsample_conv_2d(x, w, k=self.resample_kernel)
+    elif self.down:
+      x = ops.conv_downsample_2d(x, w, k=self.resample_kernel)
+    else:
+      x = jax.lax.conv_general_dilated(
+          x, w, window_strides=(1, 1), padding="SAME",
+          dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if self.use_bias:
+      b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+      x = x + b
+    return x
+
+
+class ResnetBlockDDPMpp(nn.Module):
+  """DDPM-style resblock (`models/layerspp.py:179-222`), NHWC."""
+  act: Callable
+  out_ch: Optional[int] = None
+  conv_shortcut: bool = False
+  dropout: float = 0.1
+  skip_rescale: bool = False
+  init_scale: float = 0.0
+
+  @nn.compact
+  def __call__(self, x, temb=None, train: bool = True):
+    in_ch = x.shape[-1]
+    out_ch = self.out_ch or in_ch
+    h = self.act(group_norm(in_ch)(x))
+    h = conv3x3(out_ch)(h)
+    if temb is not None:
+      h += nn.Dense(out_ch, kernel_init=default_init(),
+                    bias_init=nn.initializers.zeros)(
+                        self.act(temb))[:, None, None, :]
+    h = self.act(group_norm(out_ch)(h))
+    h = nn.Dropout(self.dropout)(h, deterministic=not train)
+    h = conv3x3(out_ch, init_scale=self.init_scale)(h)
+    if in_ch != out_ch:
+      if self.conv_shortcut:
+        x = conv3x3(out_ch)(x)
+      else:
+        x = NIN(out_ch)(x)
+    if not self.skip_rescale:
+      return x + h
+    return (x + h) / np.sqrt(2.0)
+
+
+class ResnetBlockBigGANpp(nn.Module):
+  """BigGAN-style resblock with in-block resampling
+  (`models/layerspp.py:225-287`), NHWC."""
+  act: Callable
+  out_ch: Optional[int] = None
+  up: bool = False
+  down: bool = False
+  dropout: float = 0.1
+  fir: bool = False
+  fir_kernel: Sequence[int] = (1, 3, 3, 1)
+  skip_rescale: bool = True
+  init_scale: float = 0.0
+
+  @nn.compact
+  def __call__(self, x, temb=None, train: bool = True):
+    in_ch = x.shape[-1]
+    out_ch = self.out_ch or in_ch
+    h = self.act(group_norm(in_ch)(x))
+
+    if self.up:
+      if self.fir:
+        h = ops.upsample_2d(h, self.fir_kernel, factor=2)
+        x = ops.upsample_2d(x, self.fir_kernel, factor=2)
+      else:
+        h = ops.naive_upsample_2d(h, factor=2)
+        x = ops.naive_upsample_2d(x, factor=2)
+    elif self.down:
+      if self.fir:
+        h = ops.downsample_2d(h, self.fir_kernel, factor=2)
+        x = ops.downsample_2d(x, self.fir_kernel, factor=2)
+      else:
+        h = ops.naive_downsample_2d(h, factor=2)
+        x = ops.naive_downsample_2d(x, factor=2)
+
+    h = conv3x3(out_ch)(h)
+    if temb is not None:
+      h += nn.Dense(out_ch, kernel_init=default_init(),
+                    bias_init=nn.initializers.zeros)(
+                        self.act(temb))[:, None, None, :]
+    h = self.act(group_norm(out_ch)(h))
+    h = nn.Dropout(self.dropout)(h, deterministic=not train)
+    h = conv3x3(out_ch, init_scale=self.init_scale)(h)
+
+    if in_ch != out_ch or self.up or self.down:
+      x = conv1x1(out_ch)(x)
+
+    if not self.skip_rescale:
+      return x + h
+    return (x + h) / np.sqrt(2.0)

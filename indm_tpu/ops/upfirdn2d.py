@@ -159,14 +159,14 @@ def upsample_conv_2d(x, w, k=None, factor: int = 2, gain: float = 1.0):
   # The reference spatially flips + io-swaps the weight to feed
   # `F.conv_transpose2d` (`up_or_down_sampling.py:124-129`); rewriting the
   # transposed conv as a dilated conv un-does both, so the equivalent single
-  # dilated conv uses the ORIGINAL HWIO weight with padding
-  # (convH-1, convH-1+output_padding), output_padding = factor-1.
-  out_pad = factor - 1
+  # dilated conv uses the ORIGINAL HWIO weight with padding (convH-1,convH-1)
+  # (stride=factor, output_padding=0 — note the shipped reference mangles
+  # stride into a 4-list at `up_or_down_sampling.py:117`, which would raise
+  # in torch; we implement the intended StyleGAN2/TF semantics).
   x = lax.conv_general_dilated(
       x, w,
       window_strides=(1, 1),
-      padding=((convH - 1, convH - 1 + out_pad),
-               (convW - 1, convW - 1 + out_pad)),
+      padding=((convH - 1, convH - 1), (convW - 1, convW - 1)),
       lhs_dilation=(factor, factor),
       dimension_numbers=("NHWC", "HWIO", "NHWC"))
   return upfirdn2d(x, jnp.asarray(k),

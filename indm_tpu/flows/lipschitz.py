@@ -1,0 +1,264 @@
+"""Lipschitz-constrained linear/conv layers (functional, NHWC).
+
+Port of the reference's Lipschitz layer zoo
+(`/root/reference/flow_models/resflow/layers/base/lipschitz.py` and the wolf
+copy with conditional convs). Two families matter:
+
+  * Lop* (operator-norm bound): deterministic soft normalization
+    `W / max(1, ||W||_op / coeff)` where the operator norm is a row/column
+    p-norm picked by (domain, codomain) (`lipschitz.py:485-509`). INDM's
+    shipped configs use `vnorms='ffff'` == (inf, inf) everywhere
+    (`flow_models/flow_model.py:97`), which resolves to LopConv2d/LopLinear
+    (`lipschitz.py:512-533`) — NO power-iteration state, fully differentiable
+    and jit-trivial. This is the hot path.
+
+  * SpectralNorm* (sigma via power iteration): u/v vectors are explicit
+    state threaded through the step; the training forward runs 1 iteration
+    under stop_gradient (`lipschitz.py:259-262`), and `update_lipschitz`
+    (`flow_models/resflow/utils.py:126-132`) reprojects to convergence after
+    each optimizer step.
+
+Layers follow the functional protocol: `init(rng, ...) -> params`,
+`apply(params, x, ...) -> y`. Conv weights are HWIO.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def operator_norm_settings(domain, codomain) -> Tuple[bool, float]:
+  """(max_across_input_dims, norm_type) by (domain, codomain)
+  (`lipschitz.py:485-509`)."""
+  inf = float("inf")
+  if domain == 1 and codomain == 1:
+    return True, 1
+  if domain == 1 and codomain == 2:
+    return True, 2
+  if domain == 1 and codomain == inf:
+    return True, inf
+  if domain == 2 and codomain == inf:
+    return False, 2
+  if domain == inf and codomain == inf:
+    return False, 1
+  raise ValueError(f"Unknown domain/codomain combination ({domain},{codomain})")
+
+
+def _kaiming_uniform(rng, shape, fan_in):
+  """torch kaiming_uniform_(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+  bound = 1.0 / math.sqrt(fan_in)
+  return jax.random.uniform(rng, shape, minval=-bound, maxval=bound)
+
+
+def _lop_scale(w: jnp.ndarray, norm_type, axes):
+  """p-norm of w reduced over `axes` (kept axes give the per-row/col bound);
+  equivalent to torch `_norm_except_dim` (`lipschitz.py:469-482`)."""
+  if norm_type == 1:
+    return jnp.sum(jnp.abs(w), axis=axes)
+  if norm_type == 2:
+    return jnp.sqrt(jnp.sum(w ** 2, axis=axes))
+  if norm_type == float("inf"):
+    return jnp.max(jnp.abs(w), axis=axes)
+  raise ValueError(norm_type)
+
+
+class LopConv2d:
+  """Operator-norm-bounded conv (`lipschitz.py:320-368`), NHWC/HWIO.
+
+  With optional global-linear conditioning on h (wolf's LopCondConv2d,
+  `flow_models/wolf/flows/resflow/layers/base/lipschitz.py:373-441`):
+  the conditioning vector is projected to in_channels and added to the input.
+  """
+
+  def __init__(self, in_ch, out_ch, kernel_size, coeff=0.97,
+               domain=float("inf"), codomain=float("inf"),
+               cond_dim: Optional[int] = None, local_constraint=True):
+    self.in_ch, self.out_ch, self.k = in_ch, out_ch, kernel_size
+    self.coeff = coeff
+    self.cond_dim = cond_dim
+    self.local_constraint = local_constraint
+    self.max_across_input_dims, self.norm_type = operator_norm_settings(
+        domain, codomain)
+
+  def init(self, rng):
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
+    fan_in = self.in_ch * self.k * self.k
+    p = {
+        "w": _kaiming_uniform(r1, (self.k, self.k, self.in_ch, self.out_ch),
+                              fan_in),
+        "b": _kaiming_uniform(r2, (self.out_ch,), fan_in),
+    }
+    if self.cond_dim is not None:
+      bound = 1.0 / math.sqrt(self.cond_dim)
+      p["h_w"] = _kaiming_uniform(r3, (self.cond_dim, self.in_ch),
+                                  self.cond_dim)
+      p["h_b"] = jax.random.uniform(r4, (self.in_ch,), minval=-bound,
+                                    maxval=bound)
+    return p
+
+  def normalized_weight(self, params):
+    # HWIO; torch keeps dim 1 (in) when max_across_input_dims else dim 0
+    # (out) (`lipschitz.py:345-347,349-358`).
+    w = params["w"]
+    if self.max_across_input_dims:
+      scale = _lop_scale(w, self.norm_type, axes=(0, 1, 3))  # keep in
+      bshape = (1, 1, self.in_ch, 1)
+    else:
+      scale = _lop_scale(w, self.norm_type, axes=(0, 1, 2))  # keep out
+      bshape = (1, 1, 1, self.out_ch)
+    if not self.local_constraint:
+      scale = jnp.max(scale)
+      bshape = ()
+    factor = jnp.maximum(1.0, scale / self.coeff)
+    return w / factor.reshape(bshape) if bshape else w / factor
+
+  def apply(self, params, x, h=None):
+    if self.cond_dim is not None:
+      assert h is not None
+      hp = h @ params["h_w"] + params["h_b"]
+      x = x + hp[:, None, None, :]
+    w = self.normalized_weight(params)
+    y = lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + params["b"]
+
+  def lipschitz_scale(self, params):
+    axes = (0, 1, 3) if self.max_across_input_dims else (0, 1, 2)
+    return jnp.max(_lop_scale(params["w"], self.norm_type, axes))
+
+
+class LopLinear:
+  """Operator-norm-bounded dense layer (`lipschitz.py:274-317`)."""
+
+  def __init__(self, in_dim, out_dim, coeff=0.97, domain=float("inf"),
+               codomain=float("inf"), local_constraint=True):
+    self.in_dim, self.out_dim = in_dim, out_dim
+    self.coeff = coeff
+    self.local_constraint = local_constraint
+    self.max_across_input_dims, self.norm_type = operator_norm_settings(
+        domain, codomain)
+
+  def init(self, rng):
+    r1, r2 = jax.random.split(rng)
+    return {
+        "w": _kaiming_uniform(r1, (self.in_dim, self.out_dim), self.in_dim),
+        "b": _kaiming_uniform(r2, (self.out_dim,), self.in_dim),
+    }
+
+  def normalized_weight(self, params):
+    w = params["w"]  # (in, out)
+    if self.max_across_input_dims:
+      scale = _lop_scale(w, self.norm_type, axes=(1,))  # keep in
+      factor = jnp.maximum(1.0, scale / self.coeff)
+      return w / factor[:, None]
+    scale = _lop_scale(w, self.norm_type, axes=(0,))    # keep out
+    if not self.local_constraint:
+      scale = jnp.max(scale)
+      return w / jnp.maximum(1.0, scale / self.coeff)
+    factor = jnp.maximum(1.0, scale / self.coeff)
+    return w / factor[None, :]
+
+  def apply(self, params, x, h=None):
+    return x @ self.normalized_weight(params) + params["b"]
+
+
+class SpectralNormConv2d:
+  """Spectral-norm conv with explicit power-iteration state
+  (`lipschitz.py:102-271`). State = {'u','v'} full-tensor singular vectors
+  updated by conv/conv_transpose iterations. The forward does one update
+  under stop_gradient in train mode; `converge` reprojects after a step."""
+
+  def __init__(self, in_ch, out_ch, kernel_size, input_hw, coeff=0.97,
+               n_iterations=None, atol=1e-3, rtol=1e-3):
+    self.in_ch, self.out_ch, self.k = in_ch, out_ch, kernel_size
+    self.h, self.w = input_hw
+    self.coeff = coeff
+    self.n_iterations = n_iterations
+    self.atol, self.rtol = atol, rtol
+
+  def init(self, rng):
+    r1, r2, r3 = jax.random.split(rng, 3)
+    fan_in = self.in_ch * self.k * self.k
+    w = _kaiming_uniform(r1, (self.k, self.k, self.in_ch, self.out_ch),
+                         fan_in)
+    b = _kaiming_uniform(r2, (self.out_ch,), fan_in)
+    v = jax.random.normal(r3, (1, self.h, self.w, self.in_ch))
+    v = v / jnp.linalg.norm(v)
+    u = self._conv(w, v)
+    u = u / jnp.linalg.norm(u)
+    return {"w": w, "b": b, "u": u, "v": v}
+
+  def _conv(self, w, v):
+    return lax.conv_general_dilated(
+        v, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+  def _conv_t(self, w, u):
+    return lax.conv_general_dilated(
+        u, jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+  def _power_iter(self, w, u, v, n_iter):
+    def body(i, carry):
+      u, v = carry
+      v = self._conv_t(w, u)
+      v = v / (jnp.linalg.norm(v) + 1e-12)
+      u = self._conv(w, v)
+      u = u / (jnp.linalg.norm(u) + 1e-12)
+      return u, v
+    return lax.fori_loop(0, n_iter, body, (u, v))
+
+  def normalized_weight(self, params, update: bool = False, n_iter: int = 1):
+    w = params["w"]
+    u, v = params["u"], params["v"]
+    if update:
+      u, v = self._power_iter(lax.stop_gradient(w), u, v, n_iter)
+      u, v = lax.stop_gradient(u), lax.stop_gradient(v)
+    sigma = jnp.sum(u * self._conv(w, v))
+    factor = jnp.maximum(1.0, sigma / self.coeff)
+    return w / factor, {"u": u, "v": v}
+
+  def apply(self, params, x, h=None, train: bool = False):
+    w, new_uv = self.normalized_weight(params, update=train)
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + params["b"], new_uv
+
+  def converge(self, params, n_iter: int = 200):
+    """Post-step converged reprojection (`resflow/utils.py:126-132`)."""
+    u, v = self._power_iter(params["w"], params["u"], params["v"], n_iter)
+    return {**params, "u": u, "v": v}
+
+
+def get_conv2d(in_ch, out_ch, kernel_size, coeff, domain, codomain,
+               cond_dim=None, **kwargs):
+  """Factory mirroring `lipschitz.py:523-533` + wolf's `get_convcond2d`.
+  For (inf, inf) and the other Lop-eligible combinations returns LopConv2d;
+  induced-norm (learned-p) layers are not yet implemented."""
+  inf = float("inf")
+  lop_ok = (domain == 1 and codomain in (1, 2, inf)) or \
+           (codomain == inf and domain in (2, inf))
+  if not lop_ok:
+    raise NotImplementedError(
+        "InducedNorm (learned-p) layers not yet implemented; "
+        "use vnorms combinations resolving to Lop layers.")
+  return LopConv2d(in_ch, out_ch, kernel_size, coeff=coeff, domain=domain,
+                   codomain=codomain, cond_dim=cond_dim)
+
+
+def get_linear(in_dim, out_dim, coeff, domain, codomain, **kwargs):
+  inf = float("inf")
+  lop_ok = (domain == 1 and codomain in (1, 2, inf)) or \
+           (codomain == inf and domain in (2, inf))
+  if not lop_ok:
+    raise NotImplementedError(
+        "InducedNorm (learned-p) layers not yet implemented.")
+  return LopLinear(in_dim, out_dim, coeff=coeff, domain=domain,
+                   codomain=codomain)

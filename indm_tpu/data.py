@@ -1,0 +1,192 @@
+"""Data pipeline: numpy-backed, threaded prefetch, TPU-host friendly.
+
+Replaces the reference's tf.data/tfds pipelines (`/root/reference/
+datasets.py:136-288`) — TensorFlow is not part of this stack. Semantics
+kept: images as float in [0,1] (uniform dequantization happens per-step in
+the train loop, `run_lib.py:86`), random horizontal flips, shuffle, repeat,
+drop-remainder batching, prefetch (threaded double-buffering replaces
+AUTOTUNE), batch-size divisibility check against device count
+(`datasets.py:174-176`), and a self-healing `get_batch`
+(`datasets.py:106-128`).
+
+Data sources (searched under config.datadir and $INDM_DATA_DIR):
+  * `cifar-10-batches-py/` — the standard CIFAR-10 python pickle layout;
+  * `<dataset>.npz` with 'train'/'test' uint8 NHWC arrays;
+  * otherwise a deterministic synthetic dataset (seeded), so CPU driver
+    configs run without network access (this image has zero egress).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def get_data_scaler(config):
+  """[0,1] -> [-1,1] when centered (`datasets.py:56-63`)."""
+  if config.data.centered:
+    return lambda x: x * 2.0 - 1.0
+  return lambda x: x
+
+
+def get_data_inverse_scaler(config):
+  if config.data.centered:
+    return lambda x: (x + 1.0) / 2.0
+  return lambda x: x
+
+
+def _search_dirs(config):
+  dirs = [config.datadir, os.environ.get("INDM_DATA_DIR", ""),
+          os.path.join(config.datadir, "data"), "/root/data", "./data"]
+  return [d for d in dirs if d]
+
+
+def _load_cifar10(dirname: str):
+  base = os.path.join(dirname, "cifar-10-batches-py")
+  if not os.path.isdir(base):
+    return None
+  def load_batch(name):
+    with open(os.path.join(base, name), "rb") as f:
+      d = pickle.load(f, encoding="bytes")
+    x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return x
+  train = np.concatenate([load_batch(f"data_batch_{i}")
+                          for i in range(1, 6)])
+  test = load_batch("test_batch")
+  return train.astype(np.uint8), test.astype(np.uint8)
+
+
+def _load_npz(dirname: str, dataset: str):
+  for name in (f"{dataset.lower()}.npz", f"{dataset}.npz"):
+    path = os.path.join(dirname, name)
+    if os.path.exists(path):
+      with np.load(path) as z:
+        return z["train"].astype(np.uint8), z["test"].astype(np.uint8)
+  return None
+
+
+def _synthetic(config, n_train=512, n_test=128):
+  logging.warning(
+      "No on-disk dataset found for %s; using deterministic synthetic data "
+      "(seeded). Place cifar-10-batches-py/ or %s.npz under datadir for "
+      "real training.", config.data.dataset, config.data.dataset.lower())
+  s = config.data.image_size
+  c = config.data.num_channels
+  rng = np.random.default_rng(1234)
+  def make(n):
+    # smooth random images so flows/scores see non-trivial structure
+    base = rng.normal(size=(n, s // 2 or 1, s // 2 or 1, c))
+    img = np.repeat(np.repeat(base, 2, axis=1), 2, axis=2)[:, :s, :s]
+    img = 1 / (1 + np.exp(-img))
+    return (img * 255).astype(np.uint8)
+  return make(n_train), make(n_test)
+
+
+def load_arrays(config) -> Tuple[np.ndarray, np.ndarray]:
+  """Return (train, test) uint8 NHWC arrays for config.data.dataset."""
+  ds = config.data.dataset.upper()
+  for d in _search_dirs(config):
+    if ds == "CIFAR10":
+      out = _load_cifar10(d)
+      if out is not None:
+        return out
+    out = _load_npz(d, ds)
+    if out is not None:
+      return out
+  return _synthetic(config)
+
+
+class EpochIterator:
+  """Shuffle-repeat-flip-batch over an in-memory array with threaded
+  prefetch (the tf.data AUTOTUNE/threadpool equivalent,
+  `datasets.py:266-282`)."""
+
+  def __init__(self, data: np.ndarray, batch_size: int, shuffle: bool = True,
+               random_flip: bool = True, repeat: bool = True, seed: int = 0,
+               prefetch: int = 2):
+    self.data = data
+    self.batch_size = batch_size
+    self.shuffle = shuffle
+    self.random_flip = random_flip
+    self.repeat = repeat
+    self.rng = np.random.default_rng(seed)
+    self.q: queue.Queue = queue.Queue(maxsize=prefetch)
+    self._stop = threading.Event()
+    self.thread = threading.Thread(target=self._producer, daemon=True)
+    self.thread.start()
+
+  def _epoch_order(self):
+    n = len(self.data)
+    return (self.rng.permutation(n) if self.shuffle else np.arange(n))
+
+  def _producer(self):
+    while not self._stop.is_set():
+      order = self._epoch_order()
+      nb = len(order) // self.batch_size  # drop_remainder
+      for i in range(nb):
+        idx = order[i * self.batch_size:(i + 1) * self.batch_size]
+        batch = self.data[idx].astype(np.float32) / 255.0
+        if self.random_flip:
+          flips = self.rng.random(len(idx)) < 0.5
+          batch[flips] = batch[flips, :, ::-1]
+        self.q.put(batch)
+        if self._stop.is_set():
+          return
+      if not self.repeat:
+        self.q.put(None)
+        return
+
+  def __iter__(self):
+    return self
+
+  def __next__(self) -> np.ndarray:
+    item = self.q.get()
+    if item is None:
+      raise StopIteration
+    return item
+
+  def close(self):
+    self._stop.set()
+    try:
+      while True:
+        self.q.get_nowait()
+    except queue.Empty:
+      pass
+
+
+def get_dataset(config, evaluation: bool = False):
+  """(train_iter, eval_iter) of float32 NHWC batches in [0,1]
+  (`datasets.py:136-288`). Batch sizes follow the reference: training uses
+  config.training.batch_size, eval uses config.eval.batch_size."""
+  batch_size = (config.eval.batch_size if evaluation
+                else config.training.batch_size)
+  n_dev = jax.device_count()
+  if batch_size % n_dev != 0:
+    raise ValueError(
+        f"Batch size {batch_size} must be divisible by device count "
+        f"{n_dev} (`datasets.py:174-176`).")
+  train, test = load_arrays(config)
+  train_it = EpochIterator(train, batch_size, shuffle=True,
+                           random_flip=config.data.random_flip, repeat=True,
+                           seed=config.seed)
+  eval_it = EpochIterator(test, batch_size, shuffle=False, random_flip=False,
+                          repeat=True, seed=config.seed + 1)
+  return train_it, eval_it
+
+
+def get_batch(config, data_iter, ds):
+  """Self-healing batch fetch (`datasets.py:106-128`): on ANY failure,
+  restart the iterator."""
+  try:
+    return next(data_iter), data_iter
+  except Exception:  # noqa: BLE001 — parity with the reference's bare except
+    logging.info("data iterator exhausted/failed; restarting epoch")
+    new_iter = iter(ds)
+    return next(new_iter), new_iter

@@ -1,0 +1,187 @@
+"""Flow model construction + the `flow_forward` dispatcher.
+
+Functional re-design of `/root/reference/flow_models/flow_model.py:7-111`:
+the single entry point used by losses/sampling/likelihood. Handles the
+optional squeeze pre/post (`flow_model.py:9,24`), the identity/resflow/wolf
+branches, and (inside `ResidualFlow.fwdpass`) the multi-scale de-interleave
+(`flow_model.py:14-22`). DataParallel wrapping is replaced by mesh sharding
+of the jitted step (`indm_tpu.parallel`).
+
+Return convention matches the reference:
+  * resflow branch returns (z, log_jacob) with log_jacob the TRUE log|det|
+    (`flow_model.py:26` returns -neg_log_jacob);
+  * wolf branch returns (z, logdet_minus_kl) = fwdpass log|det| - KL
+    (`wolf.py:116-128`), which the joint losses negate
+    (`losses.py:296-301`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from indm_tpu.configs.wolf_presets import load_wolf_params
+from indm_tpu.flows import wolf as wolf_lib
+from indm_tpu.flows.resflow import ResidualFlow, squeeze_nhwc, unsqueeze_nhwc
+
+# h conditioning width hardcoded in the reference's LopCondConv2d
+# (`wolf lipschitz.py:415`).
+_WOLF_H_DIM = 64
+
+
+class FlowModel:
+  """Static flow architecture; parameters live in an external pytree:
+     {'resflow': ..., 'disc': ...} plus buffers {'batch_stats': ...}."""
+
+  def __init__(self, config):
+    self.kind = config.flow.model
+    self.squeeze = bool(config.flow.squeeze)
+    self.config = config
+    self.resflow = None
+    self.disc = None
+    if self.kind == "identity":
+      return
+
+    img = config.data.image_size
+    ch = config.data.num_channels
+    if self.squeeze:
+      img, ch = img // 2, ch * 4
+    n_blocks = tuple(int(b) for b in config.flow.nblocks.split("-"))
+
+    if self.kind == "resflow":
+      cond_dim = None
+    elif self.kind == "wolf":
+      cond_dim = _WOLF_H_DIM
+      self.wolf_params = load_wolf_params(config.flow.model_config)
+      self.disc = wolf_lib.make_discriminator(self.wolf_params)
+    else:
+      raise NotImplementedError(self.kind)
+
+    # INDM instantiation (`flow_models/flow_model.py:93-100`,
+    # `wolf generator.py:101-106`): vnorms='ffff', coeff 0.98 default,
+    # poisson log-det, act from config.
+    self.resflow = ResidualFlow(
+        image_hw=img, in_ch=ch, n_blocks=n_blocks,
+        intermediate_dim=config.flow.intermediate_dim,
+        coeff=0.98, vnorms="ffff", kernels="3-1-3",
+        activation_fn=config.flow.act_fn, n_exact_terms=2,
+        n_dist="poisson", cond_dim=cond_dim, preact=True,
+        first_resblock=True, actnorm=config.flow.actnorm)
+
+  def init(self, rng) -> Tuple[Dict, Dict]:
+    """Returns (params, buffers)."""
+    if self.kind == "identity":
+      return {}, {}
+    r1, r2, r3 = jax.random.split(rng, 3)
+    params = {"resflow": self.resflow.init(r1)}
+    buffers = {}
+    if self.disc is not None:
+      img = self.config.data.image_size
+      ch = self.config.data.num_channels
+      if self.squeeze:
+        img, ch = img // 2, ch * 4
+      x = jnp.zeros((2, img, img, ch))
+      variables = self.disc.init({"params": r2, "sample": r3}, x,
+                                 train=False)
+      params["disc"] = variables["params"]
+      buffers["batch_stats"] = variables.get("batch_stats", {})
+    return params, buffers
+
+  # -- discriminator plumbing ------------------------------------------------
+
+  def _disc_vars(self, params, buffers):
+    return {"params": params["disc"],
+            "batch_stats": buffers.get("batch_stats", {})}
+
+  def sampling_and_kl(self, params, buffers, x, rng, train):
+    out = self.disc.apply(
+        self._disc_vars(params, buffers), x, train=train,
+        method=self.disc.sampling_and_KL,
+        rngs={"sample": rng},
+        mutable=["batch_stats"] if train else False)
+    if train:
+      (z, kl), mutated = out
+      return z, kl, {"batch_stats": mutated["batch_stats"]}
+    z, kl = out
+    return z, kl, buffers
+
+  def sample_prior(self, params, buffers, n, rng):
+    return self.disc.apply(self._disc_vars(params, buffers), n,
+                           method=self.disc.sample_from_prior,
+                           rngs={"sample": rng})
+
+
+def create_flow_model(config) -> Optional[FlowModel]:
+  """`flow_models/flow_model.py:86-110` (+ WolfCore.from_params)."""
+  if config.flow.model == "identity":
+    return None
+  return FlowModel(config)
+
+
+def flow_forward(config, flow_model: FlowModel, params, buffers, x,
+                 rng=None, reverse: bool = False, train: bool = False,
+                 eval_logdet: bool = True):
+  """Single flow entry (`flow_model.py:7-69`).
+
+  Forward: returns (z, logdet, new_buffers) — `logdet` per the reference
+  convention above (or None when eval_logdet=False).
+  Reverse: returns (x, None, buffers).
+  """
+  if flow_model is None or flow_model.kind == "identity":
+    zeros = jnp.zeros((x.shape[0],), x.dtype)
+    return x, zeros, buffers
+
+  if rng is None:
+    rng = jax.random.PRNGKey(0)
+  rng_h, rng_f = jax.random.split(rng)
+
+  if flow_model.squeeze:
+    x = squeeze_nhwc(x, 2)
+
+  if flow_model.kind == "resflow":
+    if not reverse:
+      z, neg_log_jacob = flow_model.resflow.fwdpass(
+          params["resflow"], x, rng=rng_f, train=train,
+          eval_logdet=eval_logdet)
+      logdet = -neg_log_jacob if eval_logdet else None
+    else:
+      z, _ = flow_model.resflow.bwdpass(params["resflow"], x, rng=rng_f)
+      logdet = None
+    new_buffers = buffers
+  elif flow_model.kind == "wolf":
+    if not reverse:
+      h, kl, new_buffers = flow_model.sampling_and_kl(params, buffers, x,
+                                                      rng_h, train)
+      z, logpx = flow_model.resflow.fwdpass(
+          params["resflow"], x, h=h, rng=rng_f, train=train,
+          eval_logdet=eval_logdet)
+      # reference: loss = -logdet_fwdpass - kl; flow_forward returns it as
+      # 'logdet_kl' (`wolf.py:126-128`, `flow_model.py:58`); note fwdpass's
+      # logpx == -sum(logdetgrad), so this equals +log|det| - KL ... the
+      # joint loss then uses -(this) (`losses.py:296-301`).
+      logdet = (-logpx - kl) if eval_logdet else None
+    else:
+      h = flow_model.sample_prior(params, buffers, x.shape[0], rng_h)
+      z, _ = flow_model.resflow.bwdpass(params["resflow"], x, h=h,
+                                        rng=rng_f)
+      logdet = None
+      new_buffers = buffers
+  else:
+    raise NotImplementedError(flow_model.kind)
+
+  if flow_model.squeeze:
+    z = unsqueeze_nhwc(z, 2)
+  return z, logdet, new_buffers
+
+
+def update_lipschitz(flow_model: FlowModel, params):
+  """Post-step Lipschitz projection (`flow_models/resflow/utils.py:126-132`).
+
+  With INDM's vnorms='ffff' every Lipschitz layer is a Lop (operator-norm)
+  layer whose constraint is enforced deterministically inside the forward —
+  there is no power-iteration state to converge, so this is the identity.
+  SpectralNorm layers (if configured) would call `.converge` here.
+  """
+  return params

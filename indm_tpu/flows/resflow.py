@@ -1,0 +1,562 @@
+"""Residual flow (invertible ResNets) — functional JAX core, NHWC.
+
+Re-design of the reference resflow tree
+(`/root/reference/flow_models/resflow/resflow_.py`,
+`layers/iresblock.py`, and the wolf conditional copy
+`flow_models/wolf/flows/resflow/`). One library serves both: optional
+conditioning `h` replaces the duplicated tree (SURVEY.md §7.4).
+
+TPU-first choices:
+  * layers follow an explicit functional protocol (init/forward/inverse on
+    param pytrees) so `jax.vjp`, `lax.while_loop` fixed-point inverses and
+    the Neumann log-det estimator compose without lifted-transform overhead;
+  * the unbiased Russian-roulette log-det (`iresblock.py:96-123`) samples
+    n ~ Poisson on device and runs a dynamic-length `while_loop` for the
+    STOP-GRADIENT Neumann accumulation, then one differentiable VJP — the
+    exact gradient-path trick of `neumann_logdet_estimator`
+    (`iresblock.py:249-258`) with no Python-level dynamic shapes;
+  * the fixed-point inverse (`iresblock.py:69-79`) is a `lax.while_loop`
+    with per-element tolerance and a 1000-iteration cap.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from indm_tpu.flows import lipschitz as lip
+
+# ---------------------------------------------------------------------------
+# Lipschitz activations (`flow_models/resflow/layers/base/activations.py`)
+# ---------------------------------------------------------------------------
+
+
+def sin_act(x):
+  """INDM default: sin(2*pi*x)/(2*pi) — 1-Lipschitz (`activations.py:7-12`)."""
+  return jnp.sin(2.0 * jnp.pi * x) / jnp.pi * 0.5
+
+
+def swish_act(x, beta=0.5):
+  return x * jax.nn.sigmoid(x * jax.nn.softplus(beta)) / 1.1
+
+
+def lipschitz_cube(x):
+  return jnp.where(x >= 1, x - 2 / 3,
+                   jnp.where(x <= -1, x + 2 / 3, x ** 3 / 3))
+
+
+def max_min(x):
+  b, d = x.shape
+  xr = x.reshape(b, d // 2, 2)
+  return jnp.concatenate([jnp.max(xr, 2), jnp.min(xr, 2)], axis=1)
+
+
+def full_sort(x):
+  return jnp.sort(x, axis=1)
+
+
+ACT_FNS = {
+    "softplus": jax.nn.softplus,
+    "elu": jax.nn.elu,
+    "swish": swish_act,
+    "lcube": lipschitz_cube,
+    "identity": lambda x: x,
+    "relu": jax.nn.relu,
+    "sin": sin_act,
+}
+
+
+# ---------------------------------------------------------------------------
+# Squeeze (`flow_models/resflow/layers/squeeze.py`), torch channel ordering
+# (out channel = c*4 + dy*2 + dx) kept for checkpoint compatibility.
+# ---------------------------------------------------------------------------
+
+
+def squeeze_nhwc(x, factor: int = 2):
+  b, h, w, c = x.shape
+  x = x.reshape(b, h // factor, factor, w // factor, factor, c)
+  x = x.transpose(0, 1, 3, 5, 2, 4)  # (b, h2, w2, c, dy, dx)
+  return x.reshape(b, h // factor, w // factor, c * factor * factor)
+
+
+def unsqueeze_nhwc(x, factor: int = 2):
+  b, h, w, c4 = x.shape
+  c = c4 // (factor * factor)
+  x = x.reshape(b, h, w, c, factor, factor)
+  x = x.transpose(0, 1, 4, 2, 5, 3)  # (b, h, dy, w, dx, c)
+  return x.reshape(b, h * factor, w * factor, c)
+
+
+class SqueezeLayer:
+  def __init__(self, factor: int = 2):
+    self.factor = factor
+
+  def init(self, rng):
+    return {}
+
+  def forward(self, params, x, logpx=None, h=None, rng=None, train=False):
+    y = squeeze_nhwc(x, self.factor)
+    return (y, logpx) if logpx is not None else (y, None)
+
+  def inverse(self, params, y, logpy=None, h=None):
+    x = unsqueeze_nhwc(y, self.factor)
+    return (x, logpy) if logpy is not None else (x, None)
+
+
+class ActNorm2d:
+  """Per-channel affine with log-det (`layers/act_norm.py`; data-dependent
+  init is inert in INDM — `act_norm.py:20`). y = (x + bias) * exp(log_scale),
+  logdet = H*W*sum(log_scale)."""
+
+  def __init__(self, num_ch: int):
+    self.num_ch = num_ch
+
+  def init(self, rng):
+    return {"bias": jnp.zeros((self.num_ch,)),
+            "log_scale": jnp.zeros((self.num_ch,))}
+
+  def forward(self, params, x, logpx=None, h=None, rng=None, train=False):
+    y = (x + params["bias"]) * jnp.exp(params["log_scale"])
+    if logpx is None:
+      return y, None
+    ld = x.shape[1] * x.shape[2] * jnp.sum(params["log_scale"])
+    return y, logpx - ld
+
+  def inverse(self, params, y, logpy=None, h=None):
+    x = y * jnp.exp(-params["log_scale"]) - params["bias"]
+    if logpy is None:
+      return x, None
+    ld = y.shape[1] * y.shape[2] * jnp.sum(params["log_scale"])
+    return x, logpy + ld
+
+
+class InvertibleConv2d:
+  """Glow-style 1x1 invertible conv (`layers/glow.py`)."""
+
+  def __init__(self, num_ch: int):
+    self.num_ch = num_ch
+
+  def init(self, rng):
+    w = jax.random.orthogonal(rng, self.num_ch)
+    return {"w": w}
+
+  def forward(self, params, x, logpx=None, h=None, rng=None, train=False):
+    y = jnp.einsum("bhwc,cd->bhwd", x, params["w"])
+    if logpx is None:
+      return y, None
+    _, ld = jnp.linalg.slogdet(params["w"])
+    return y, logpx - x.shape[1] * x.shape[2] * ld
+
+  def inverse(self, params, y, logpy=None, h=None):
+    w_inv = jnp.linalg.inv(params["w"])
+    x = jnp.einsum("bhwc,cd->bhwd", y, w_inv)
+    if logpy is None:
+      return x, None
+    _, ld = jnp.linalg.slogdet(params["w"])
+    return x, logpy + y.shape[1] * y.shape[2] * ld
+
+
+# ---------------------------------------------------------------------------
+# The Lipschitz residual net g(x) inside each iResBlock
+# (`resflow_.py:432-479`: kernels '3-1-3', Lip conv -> act -> cond Lip conv
+# -> act -> Lip conv; INDM: coeff 0.98, vnorms 'ffff', act sin, idim 512).
+# ---------------------------------------------------------------------------
+
+
+class LipschitzNNet:
+  def __init__(self, in_ch: int, idim: int, kernels=(3, 1, 3),
+               coeff: float = 0.98, act: str = "sin",
+               cond_dim: Optional[int] = None, preact: bool = False,
+               domains=None, codomains=None):
+    inf = float("inf")
+    n = len(kernels)
+    domains = [inf] * n if domains is None else domains
+    codomains = [inf] * n if codomains is None else codomains
+    self.act = ACT_FNS[act]
+    self.preact = preact
+    self.convs = []
+    dims = [in_ch] + [idim] * (n - 1) + [in_ch]
+    for i, k in enumerate(kernels):
+      cd = cond_dim if (cond_dim is not None and 0 < i < n - 1) else None
+      self.convs.append(lip.get_conv2d(dims[i], dims[i + 1], k, coeff,
+                                       domains[i], codomains[i], cond_dim=cd))
+
+  def init(self, rng):
+    keys = jax.random.split(rng, len(self.convs))
+    return [c.init(k) for c, k in zip(self.convs, keys)]
+
+  def apply(self, params, x, h=None):
+    if self.preact:
+      x = self.act(x)
+    for i, (conv, p) in enumerate(zip(self.convs, params)):
+      x = conv.apply(p, x, h=h if conv.cond_dim is not None else None)
+      if i < len(self.convs) - 1:
+        x = self.act(x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# iResBlock (`layers/iresblock.py`)
+# ---------------------------------------------------------------------------
+
+_MAX_RCDF = 128
+
+
+def _poisson_rcdf_table(lamb: float, offset: int) -> np.ndarray:
+  """rcdf[k] = P(n >= k - offset) for k = 0.._MAX_RCDF
+  (`iresblock.py:294-303`)."""
+  out = np.ones(_MAX_RCDF + 1, np.float64)
+  for k in range(_MAX_RCDF + 1):
+    m = k - offset
+    if m <= 0:
+      out[k] = 1.0
+    else:
+      s = sum(lamb ** i / math.factorial(i) for i in range(m))
+      out[k] = max(1.0 - math.exp(-lamb) * s, 1e-12)
+  return out.astype(np.float32)
+
+
+def _geometric_rcdf_table(p: float, offset: int) -> np.ndarray:
+  out = np.ones(_MAX_RCDF + 1, np.float64)
+  for k in range(_MAX_RCDF + 1):
+    m = k - offset
+    out[k] = 1.0 if m <= 0 else (1 - p) ** max(m - 1, 0)
+  return np.maximum(out, 1e-12).astype(np.float32)
+
+
+class IResBlock:
+  """Invertible residual block y = x + g(x) with stochastic log-det.
+
+  `nnet` is a LipschitzNNet (or anything with init/apply(params, x, h)).
+  """
+
+  def __init__(self, nnet, n_dist: str = "poisson", lamb: float = 2.0,
+               geom_p: float = 0.5, n_samples: int = 1,
+               n_power_series: Optional[int] = None,
+               n_exact_terms: int = 2, neumann_grad: bool = True,
+               inverse_atol: float = 1e-5, inverse_rtol: float = 1e-5,
+               inverse_max_iter: int = 1000):
+    self.nnet = nnet
+    self.n_dist = n_dist
+    self.lamb = lamb
+    self.geom_p = geom_p
+    self.n_samples = n_samples
+    self.n_power_series = n_power_series
+    self.n_exact_terms = n_exact_terms
+    self.neumann_grad = neumann_grad
+    self.inverse_atol = inverse_atol
+    self.inverse_rtol = inverse_rtol
+    self.inverse_max_iter = inverse_max_iter
+    self._rcdf = {}
+    for offset in (n_exact_terms, 20):
+      if n_dist == "poisson":
+        self._rcdf[offset] = jnp.asarray(_poisson_rcdf_table(lamb, offset))
+      else:
+        self._rcdf[offset] = jnp.asarray(_geometric_rcdf_table(geom_p, offset))
+
+  def init(self, rng):
+    return {"nnet": self.nnet.init(rng)}
+
+  def _sample_n(self, rng):
+    if self.n_dist == "poisson":
+      return jax.random.poisson(rng, self.lamb).astype(jnp.int32)
+    return jax.random.geometric(rng, self.geom_p).astype(jnp.int32)
+
+  def _g(self, params, x, h):
+    return self.nnet.apply(params["nnet"], x, h=h)
+
+  def forward(self, params, x, logpx=None, h=None, rng=None, train=False):
+    if logpx is None:
+      return x + self._g(params, x, h), None
+    g, logdet = self._logdetgrad(params, x, h, rng, train)
+    return x + g, logpx - logdet
+
+  def inverse(self, params, y, logpy=None, h=None, rng=None, train=False):
+    x = self._inverse_fixed_point(params, y, h)
+    if logpy is None:
+      return x, None
+    _, logdet = self._logdetgrad(params, x, h, rng, train)
+    return x, logpy + logdet
+
+  def _inverse_fixed_point(self, params, y, h):
+    """`iresblock.py:69-79`: x_{k+1} = y - g(x_k) until per-element tol."""
+    g_fn = lambda xx: self._g(params, xx, h)
+    tol = self.inverse_atol + jnp.abs(y) * self.inverse_rtol
+    x0 = y - g_fn(y)
+
+    def cond(carry):
+      x, x_prev, i = carry
+      not_conv = jnp.any((x - x_prev) ** 2 / tol >= 1.0)
+      return jnp.logical_and(not_conv, i <= self.inverse_max_iter)
+
+    def body(carry):
+      x, _, i = carry
+      return y - g_fn(x), x, i + 1
+
+    x, _, _ = lax.while_loop(cond, body, (x0, y, jnp.asarray(0, jnp.int32)))
+    return x
+
+  def _coeffs(self, n, offset):
+    """coeff(k) = 1{n >= k-offset} / rcdf(k, offset) for n_samples=1
+    (`iresblock.py:111-123`). Returns a fn k -> traced coeff."""
+    table = self._rcdf.get(offset)
+    if table is None:
+      if self.n_dist == "poisson":
+        table = jnp.asarray(_poisson_rcdf_table(self.lamb, offset))
+      else:
+        table = jnp.asarray(_geometric_rcdf_table(self.geom_p, offset))
+      self._rcdf[offset] = table
+
+    def coeff(k):
+      ind = (n >= k - offset).astype(jnp.float32)
+      return ind / table[jnp.clip(k, 0, _MAX_RCDF)]
+
+    return coeff
+
+  def _logdetgrad(self, params, x, h, rng, train):
+    """g(x) and an estimator of logdet|d(x+g)/dx| (`iresblock.py:81-164`)."""
+    b = x.shape[0]
+    rng_n, rng_eps = jax.random.split(rng)
+    vareps = jax.random.normal(rng_eps, x.shape)
+
+    if self.n_power_series is not None:
+      # Truncated (biased) estimator: fixed length, coeff = 1.
+      n_pow = jnp.asarray(self.n_power_series, jnp.int32)
+      coeff = lambda k: jnp.asarray(1.0)
+    else:
+      offset = self.n_exact_terms if train else 20
+      n = self._sample_n(rng_n)
+      n_pow = n + offset
+      coeff = self._coeffs(n, offset)
+
+    sg = lax.stop_gradient
+    params_sg = jax.tree_util.tree_map(sg, params)
+    h_sg = None if h is None else sg(h)
+    x_sg = sg(x)
+
+    if train and self.neumann_grad:
+      # Neumann series under stop_gradient, then ONE differentiable VJP
+      # (`iresblock.py:249-258`).
+      _, vjp_sg = jax.vjp(lambda xx: self._g(params_sg, xx, h_sg), x_sg)
+
+      def body(carry):
+        k, v, acc = carry
+        (v,) = vjp_sg(v)
+        sign = 1.0 - 2.0 * (k % 2).astype(jnp.float32)  # (-1)^k
+        acc = acc + sign * coeff(k) * v
+        return k + 1, v, acc
+
+      def cond_fn(carry):
+        k, _, _ = carry
+        return k <= n_pow
+
+      _, _, acc = lax.while_loop(
+          cond_fn, body,
+          (jnp.asarray(1, jnp.int32), vareps, jnp.zeros_like(vareps)))
+      u = sg(vareps + acc)
+
+      g, vjp = jax.vjp(lambda xx: self._g(params, xx, h), x)
+      (jtu,) = vjp(u)
+      logdet = jnp.sum((jtu * vareps).reshape(b, -1), axis=-1)
+      return g, logdet
+
+    # Basic estimator (eval / neumann off): sum_k (-1)^{k+1}/k coeff(k)
+    # <(J^T)^k eps, eps> (`iresblock.py:238-246`), all stop-gradient in eval.
+    g, vjp = jax.vjp(lambda xx: self._g(params, xx, h), x)
+
+    def body(carry):
+      k, v, acc = carry
+      (v,) = vjp(v)
+      tr = jnp.sum((v * vareps).reshape(b, -1), axis=-1)
+      sign = -(1.0 - 2.0 * (k % 2).astype(jnp.float32))  # (-1)^{k+1}
+      acc = acc + sign / k.astype(jnp.float32) * coeff(k) * tr
+      return k + 1, v, acc
+
+    def cond_fn(carry):
+      k, _, _ = carry
+      return k <= n_pow
+
+    _, _, logdet = lax.while_loop(
+        cond_fn, body,
+        (jnp.asarray(1, jnp.int32), vareps, jnp.zeros((b,), x.dtype)))
+    return g, logdet
+
+  def exact_logdet(self, params, x, h=None):
+    """Brute-force log|det(I + Jg)| via full Jacobian — test oracle
+    (`iresblock.py:85-94,146-157`). Small shapes only."""
+    b = x.shape[0]
+    d = int(np.prod(x.shape[1:]))
+
+    def g_flat(xf):
+      return self._g(params, xf.reshape((1,) + x.shape[1:]),
+                     None if h is None else h[:1]).reshape(-1)
+
+    def one(xi, hi):
+      def g_flat_i(xf):
+        return self._g(params, xf.reshape((1,) + x.shape[1:]),
+                       None if h is None else hi[None]).reshape(-1)
+      jac = jax.jacfwd(g_flat_i)(xi.reshape(-1))
+      sign, ld = jnp.linalg.slogdet(jnp.eye(d) + jac)
+      return ld
+
+    if h is None:
+      return jax.vmap(lambda xi: one(xi, None))(x)
+    return jax.vmap(one)(x, h)
+
+
+# ---------------------------------------------------------------------------
+# Containers (`layers/container.py`)
+# ---------------------------------------------------------------------------
+
+
+class SequentialFlow:
+  def __init__(self, layers: Sequence):
+    self.layers = list(layers)
+
+  def init(self, rng):
+    keys = jax.random.split(rng, max(len(self.layers), 1))
+    return [l.init(k) for l, k in zip(self.layers, keys)]
+
+  def forward(self, params, x, logpx=None, h=None, rng=None, train=False):
+    if rng is None:
+      rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, max(len(self.layers), 1))
+    for layer, p, k in zip(self.layers, params, keys):
+      x, logpx = layer.forward(p, x, logpx, h=h, rng=k, train=train)
+    return x, logpx
+
+  def inverse(self, params, y, logpy=None, h=None, rng=None, train=False):
+    if rng is None:
+      rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, max(len(self.layers), 1))
+    for layer, p, k in zip(reversed(self.layers), reversed(params),
+                           keys):
+      if isinstance(layer, IResBlock):
+        y, logpy = layer.inverse(p, y, logpy, h=h, rng=k, train=train)
+      else:
+        y, logpy = layer.inverse(p, y, logpy, h=h)
+    return y, logpy
+
+
+def build_stacked_iresblocks(in_ch: int, idim: int, n_blocks: int,
+                             squeeze: bool, coeff: float, vnorms: str,
+                             kernels: str, activation_fn: str,
+                             n_exact_terms: int, n_dist: str,
+                             cond_dim: Optional[int], preact: bool,
+                             first_resblock: bool,
+                             actnorm: bool = False) -> SequentialFlow:
+  """`StackediResBlocks` for resblock_type='resflow'
+  (`resflow_.py:337-518`)."""
+  inf = float("inf")
+  ps = [inf if c == "f" else float(c) for c in vnorms]
+  domains, codomains = ps[:-1], ps[1:]
+  ks = [int(k) for k in kernels.split("-")]
+  assert len(domains) == len(ks)
+
+  chain = []
+  for i in range(n_blocks):
+    is_first = first_resblock and i == 0
+    nnet = LipschitzNNet(in_ch, idim, kernels=tuple(ks), coeff=coeff,
+                         act=activation_fn, cond_dim=cond_dim,
+                         preact=preact and not is_first,
+                         domains=domains, codomains=codomains)
+    chain.append(IResBlock(nnet, n_dist=n_dist,
+                           n_exact_terms=n_exact_terms))
+    if actnorm:
+      chain.append(ActNorm2d(in_ch))
+  if squeeze:
+    chain.append(SqueezeLayer(2))
+  return SequentialFlow(chain)
+
+
+class ResidualFlow:
+  """Multi-scale residual flow (`resflow_.py:20-335`), NHWC,
+  factor_out=False (the INDM configuration).
+
+  fwdpass maps image x -> image-shaped latent (repeated pixel-shuffle of the
+  deepest feature map — the '-' de-interleave of
+  `flow_models/flow_model.py:14-16` generalized to any scale count);
+  bwdpass inverts it.
+  """
+
+  def __init__(self, image_hw: int, in_ch: int, n_blocks=(16, 16),
+               intermediate_dim: int = 512, coeff: float = 0.98,
+               vnorms: str = "ffff", kernels: str = "3-1-3",
+               activation_fn: str = "sin", n_exact_terms: int = 2,
+               n_dist: str = "poisson", cond_dim: Optional[int] = None,
+               preact: bool = True, first_resblock: bool = True,
+               actnorm: bool = False):
+    n_scale_max = 0
+    hw = image_hw
+    while hw >= 4:
+      n_scale_max += 1
+      hw //= 2
+    self.n_scale = min(len(n_blocks), n_scale_max)
+    assert self.n_scale > 0
+    self.in_ch = in_ch
+    self.image_hw = image_hw
+    self.transforms = []
+    c = in_ch
+    for i in range(self.n_scale):
+      self.transforms.append(build_stacked_iresblocks(
+          in_ch=c, idim=intermediate_dim, n_blocks=n_blocks[i],
+          squeeze=(i < self.n_scale - 1), coeff=coeff, vnorms=vnorms,
+          kernels=kernels, activation_fn=activation_fn,
+          n_exact_terms=n_exact_terms, n_dist=n_dist, cond_dim=cond_dim,
+          preact=preact, first_resblock=first_resblock and (i == 0),
+          actnorm=actnorm))
+      c *= 4
+
+  def init(self, rng):
+    keys = jax.random.split(rng, self.n_scale)
+    return [t.init(k) for t, k in zip(self.transforms, keys)]
+
+  def forward(self, params, x, logpx=None, h=None, rng=None, train=False):
+    if rng is None:
+      rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, self.n_scale)
+    for t, p, k in zip(self.transforms, params, keys):
+      x, logpx = t.forward(p, x, logpx, h=h, rng=k, train=train)
+    return x, logpx
+
+  def inverse(self, params, z, logpz=None, h=None, rng=None, train=False):
+    if rng is None:
+      rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, self.n_scale)
+    for t, p, k in zip(reversed(self.transforms), reversed(params),
+                       keys):
+      z, logpz = t.inverse(p, z, logpz, h=h, rng=k, train=train)
+    return z, logpz
+
+  def _to_image_layout(self, z):
+    for _ in range(self.n_scale - 1):
+      z = unsqueeze_nhwc(z, 2)
+    return z
+
+  def _from_image_layout(self, z):
+    for _ in range(self.n_scale - 1):
+      z = squeeze_nhwc(z, 2)
+    return z
+
+  def fwdpass(self, params, x, h=None, rng=None, train=False,
+              eval_logdet: bool = True):
+    """(`wolf resflow_.py:310-324`). Returns (z_image_layout, logpx) with
+    logpx the accumulated -log|det| bookkeeping started at 0: for the
+    reference, fwdpass returns logpx = 0 - sum(logdet) (negative log-det)."""
+    logpx = jnp.zeros((x.shape[0],), x.dtype) if eval_logdet else None
+    out, logpx = self.forward(params, x, logpx, h=h, rng=rng, train=train)
+    out = self._to_image_layout(out)
+    if eval_logdet:
+      return out, logpx
+    return out, None
+
+  def bwdpass(self, params, z, h=None, rng=None, train=False):
+    """(`wolf resflow_.py:326-335`)."""
+    z = self._from_image_layout(z)
+    x, _ = self.inverse(params, z, None, h=h, rng=rng, train=train)
+    return x, None

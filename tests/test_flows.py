@@ -1,0 +1,164 @@
+"""Residual-flow tests (SURVEY.md §4(d,e)): invertibility, log-det vs
+exact-trace oracle, Lipschitz bound of Lop layers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from indm_tpu.flows import lipschitz as lip
+from indm_tpu.flows import resflow as rf
+
+
+def small_block(cond_dim=None, seed=0):
+  nnet = rf.LipschitzNNet(in_ch=2, idim=8, kernels=(3, 1, 3), coeff=0.98,
+                          act="sin", cond_dim=cond_dim, preact=False)
+  block = rf.IResBlock(nnet, n_dist="poisson", n_exact_terms=2)
+  params = block.init(jax.random.PRNGKey(seed))
+  return block, params
+
+
+def test_lop_conv_row_norm_bounded():
+  conv = lip.LopConv2d(3, 5, 3, coeff=0.98)
+  params = conv.init(jax.random.PRNGKey(0))
+  params = {**params, "w": params["w"] * 10.0}  # force violation
+  w = conv.normalized_weight(params)
+  row_l1 = np.asarray(jnp.sum(jnp.abs(w), axis=(0, 1, 2)))
+  assert (row_l1 <= 0.98 + 1e-5).all()
+  # rows already under the bound are untouched
+  params2 = conv.init(jax.random.PRNGKey(1))
+  small = {**params2, "w": params2["w"] * 1e-3}
+  np.testing.assert_allclose(np.asarray(conv.normalized_weight(small)),
+                             np.asarray(small["w"]))
+
+
+def test_lop_conv_gradient_flows_through_normalization():
+  conv = lip.LopConv2d(2, 2, 3, coeff=0.98)
+  params = conv.init(jax.random.PRNGKey(0))
+  params = {**params, "w": params["w"] * 5.0}
+  x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 2))
+  g = jax.grad(lambda p: jnp.sum(conv.apply(p, x) ** 2))(params)
+  assert np.isfinite(np.asarray(g["w"])).all()
+  assert float(jnp.abs(g["w"]).sum()) > 0
+
+
+def test_iresblock_inverse_fixed_point():
+  block, params = small_block()
+  x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 2))
+  y, _ = block.forward(params, x, rng=jax.random.PRNGKey(3))
+  x_rec = block._inverse_fixed_point(params, y, None)
+  np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=2e-4)
+
+
+def test_iresblock_logdet_eval_estimator_close_to_exact():
+  """Eval mode: n + 20 exact terms (`iresblock.py:117-123`) — the power
+  series converges fast for coeff<=0.98, so a single draw is tight."""
+  block, params = small_block()
+  x = jax.random.normal(jax.random.PRNGKey(4), (3, 4, 4, 2)) * 0.3
+  exact = np.asarray(block.exact_logdet(params, x))
+  vals = []
+  for s in range(6):
+    _, ld = block._logdetgrad(params, x, None, jax.random.PRNGKey(10 + s),
+                              train=False)
+    vals.append(np.asarray(ld))
+  est = np.mean(vals, axis=0)
+  np.testing.assert_allclose(est, exact, atol=0.06)
+
+
+def test_iresblock_neumann_estimator_unbiased():
+  block, params = small_block()
+  x = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 4, 2)) * 0.3
+  exact = np.asarray(block.exact_logdet(params, x))
+  f = jax.jit(lambda r: block._logdetgrad(params, x, None, r, train=True)[1])
+  vals = np.stack([np.asarray(f(jax.random.PRNGKey(100 + s)))
+                   for s in range(200)])
+  est = vals.mean(0)
+  sem = vals.std(0) / np.sqrt(len(vals))
+  assert (np.abs(est - exact) < 4 * sem + 0.02).all(), (est, exact, sem)
+
+
+def test_iresblock_neumann_gradient_matches_exact():
+  """Gradient path of the Neumann trick vs autodiff through the exact
+  log-det (expectation over Hutchinson + n)."""
+  block, params = small_block()
+  x = jax.random.normal(jax.random.PRNGKey(6), (1, 4, 4, 2)) * 0.3
+
+  g_exact = jax.grad(
+      lambda p: jnp.sum(block.exact_logdet(p, x)))(params)
+
+  def est_grad(r):
+    return jax.grad(
+        lambda p: jnp.sum(block._logdetgrad(p, x, None, r, train=True)[1])
+    )(params)
+
+  f = jax.jit(est_grad)
+  grads = [f(jax.random.PRNGKey(200 + s)) for s in range(120)]
+  mean_g = jax.tree_util.tree_map(
+      lambda *gs: np.mean(np.stack(gs), 0), *grads)
+  w_exact = np.asarray(g_exact["nnet"][0]["w"]).ravel()
+  w_est = np.asarray(mean_g["nnet"][0]["w"]).ravel()
+  # correlation of gradient directions should be high
+  c = np.dot(w_exact, w_est) / (np.linalg.norm(w_exact)
+                                * np.linalg.norm(w_est) + 1e-12)
+  assert c > 0.95, c
+
+
+def test_squeeze_roundtrip_and_ordering():
+  x = jnp.arange(2 * 4 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 4, 3)
+  y = rf.squeeze_nhwc(x)
+  assert y.shape == (2, 2, 2, 12)
+  # torch ordering: out channel = c*4 + dy*2 + dx
+  np.testing.assert_allclose(np.asarray(y[0, 0, 0, 0]),
+                             np.asarray(x[0, 0, 0, 0]))
+  np.testing.assert_allclose(np.asarray(y[0, 0, 0, 1]),
+                             np.asarray(x[0, 0, 1, 0]))  # dx=1
+  np.testing.assert_allclose(np.asarray(y[0, 0, 0, 2]),
+                             np.asarray(x[0, 1, 0, 0]))  # dy=1
+  np.testing.assert_allclose(np.asarray(y[0, 0, 0, 4]),
+                             np.asarray(x[0, 0, 0, 1]))  # c=1
+  np.testing.assert_allclose(np.asarray(rf.unsqueeze_nhwc(y)), np.asarray(x))
+
+
+def test_residual_flow_roundtrip():
+  flow = rf.ResidualFlow(image_hw=8, in_ch=2, n_blocks=(2, 2),
+                         intermediate_dim=8)
+  params = flow.init(jax.random.PRNGKey(7))
+  x = jax.random.normal(jax.random.PRNGKey(8), (2, 8, 8, 2))
+  z, logpx = flow.fwdpass(params, x, rng=jax.random.PRNGKey(9), train=False)
+  assert z.shape == x.shape
+  assert logpx.shape == (2,)
+  x_rec, _ = flow.bwdpass(params, z)
+  np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=5e-4)
+
+
+def test_residual_flow_conditional():
+  flow = rf.ResidualFlow(image_hw=8, in_ch=2, n_blocks=(2,),
+                         intermediate_dim=8, cond_dim=6)
+  params = flow.init(jax.random.PRNGKey(10))
+  x = jax.random.normal(jax.random.PRNGKey(11), (2, 8, 8, 2))
+  h = jax.random.normal(jax.random.PRNGKey(12), (2, 6))
+  z, logpx = flow.fwdpass(params, x, h=h, rng=jax.random.PRNGKey(13))
+  x_rec, _ = flow.bwdpass(params, z, h=h)
+  np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=5e-4)
+  # conditioning actually matters
+  z2, _ = flow.fwdpass(params, x, h=h * 3.0, rng=jax.random.PRNGKey(13))
+  assert not np.allclose(np.asarray(z), np.asarray(z2))
+
+
+def test_actnorm_and_invertible_conv_logdet():
+  an = rf.ActNorm2d(3)
+  p = an.init(jax.random.PRNGKey(0))
+  p = {**p, "log_scale": jnp.asarray([0.1, -0.2, 0.3])}
+  x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 3))
+  y, logpx = an.forward(p, x, jnp.zeros(2))
+  x_rec, logpx2 = an.inverse(p, y, logpx)
+  np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-5)
+  np.testing.assert_allclose(np.asarray(logpx2), 0.0, atol=1e-5)
+
+  ic = rf.InvertibleConv2d(3)
+  p = ic.init(jax.random.PRNGKey(2))
+  y, logpx = ic.forward(p, x, jnp.zeros(2))
+  # orthogonal init: |det| = 1 → logdet 0
+  np.testing.assert_allclose(np.asarray(logpx), 0.0, atol=1e-4)
+  x_rec, _ = ic.inverse(p, y, logpx)
+  np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-5)

@@ -1,0 +1,87 @@
+"""Benchmark: INDM joint (NCSN++ + wolf flow) training steps/sec on one
+TPU chip, CIFAR-10 VP geometry (the BASELINE.md north-star metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline uses an A100 reference estimate for the PyTorch INDM joint step
+(batch 128, NCSN++ nf=128 x 4 resblocks + wolf 16-16 resflow with Neumann
+log-det and double backprop): ~1.0 steps/sec — derived from the reference's
+hot-loop structure (SURVEY.md §3.1), not published numbers (the repo
+publishes none, BASELINE.md). The north-star target is vs_baseline >= 3.
+"""
+
+import json
+import os
+import sys
+import time
+
+A100_REF_STEPS_PER_SEC = 1.0  # estimated PyTorch reference, batch 128
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+
+  from indm_tpu import joint as joint_lib
+  from indm_tpu import parallel
+  from indm_tpu import sde as sde_lib
+  from indm_tpu import state as state_lib
+  from indm_tpu.configs import get_config
+  from indm_tpu.flows.flow_model import create_flow_model
+  from indm_tpu.models import create_model
+
+  batch_size = int(os.environ.get("BENCH_BATCH", 128))
+  n_steps = int(os.environ.get("BENCH_STEPS", 10))
+
+  cfg = get_config("vp/CIFAR10/indm_nll")
+  cfg.training.batch_size = batch_size
+
+  rng = jax.random.PRNGKey(0)
+  module, variables = create_model(cfg, rng)
+  sde = sde_lib.get_sde(cfg)
+  flow_model = create_flow_model(cfg)
+  f_params, f_buffers = flow_model.init(jax.random.PRNGKey(1))
+
+  score_opt = state_lib.make_optimizer(cfg)
+  flow_opt = state_lib.make_optimizer(cfg, lr=cfg.flow.lr)
+  score_state = state_lib.init_train_state(
+      cfg, variables["params"],
+      {k: v for k, v in variables.items() if k != "params"},
+      score_opt, jax.random.PRNGKey(2))
+  flow_state = state_lib.init_train_state(cfg, f_params, f_buffers, flow_opt,
+                                          jax.random.PRNGKey(3))
+
+  step = joint_lib.make_joint_step_fn(cfg, sde, module, flow_model,
+                                      score_opt, flow_opt, train=True)
+  mesh = parallel.get_mesh()
+  p_step = parallel.jit_train_step(step, mesh, donate_state=True)
+
+  state = parallel.replicate((score_state, flow_state), mesh)
+  batch = np.random.default_rng(0).uniform(
+      -1, 1, (batch_size, 32, 32, 3)).astype(np.float32)
+  batch = parallel.shard_batch(batch, mesh)
+
+  # compile + warmup
+  state, metrics = p_step(state, batch)
+  jax.block_until_ready(metrics)
+
+  t0 = time.time()
+  for _ in range(n_steps):
+    state, metrics = p_step(state, batch)
+  jax.block_until_ready(metrics)
+  dt = time.time() - t0
+
+  steps_per_sec = n_steps / dt
+  n_chips = jax.device_count()
+  value = steps_per_sec / n_chips
+  print(json.dumps({
+      "metric": "indm_vp_cifar10_joint_train_steps_per_sec_per_chip",
+      "value": round(value, 4),
+      "unit": f"steps/s/chip (batch {batch_size})",
+      "vs_baseline": round(value / A100_REF_STEPS_PER_SEC, 4),
+  }))
+
+
+if __name__ == "__main__":
+  main()

@@ -83,8 +83,10 @@ class FlowModel:
       if self.squeeze:
         img, ch = img // 2, ch * 4
       x = jnp.zeros((2, img, img, ch))
+      # init through sampling_and_KL so the flow prior's params are created
       variables = self.disc.init({"params": r2, "sample": r3}, x,
-                                 train=False)
+                                 train=False,
+                                 method=self.disc.sampling_and_KL)
       params["disc"] = variables["params"]
       buffers["batch_stats"] = variables.get("batch_stats", {})
     return params, buffers

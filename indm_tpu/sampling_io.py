@@ -1,0 +1,130 @@
+"""Sample caching + image grid IO.
+
+Re-design of `/root/reference/sampling_lib.py`: every sampling artifact is
+an npz cached by round index and skipped when present (idempotent eval —
+SURVEY.md §5.3), PNG grids are written with PIL, and when only before-flow
+samples exist the flow inverse is re-applied in chunks
+(`sampling_lib.py:144-170`).
+"""
+
+from __future__ import annotations
+
+import io
+import logging
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def image_grid(samples: np.ndarray, grid_size: Optional[int] = None):
+  """Tile [N,H,W,C] uint8 samples into one grid image."""
+  n, h, w, c = samples.shape
+  if grid_size is None:
+    grid_size = int(np.floor(np.sqrt(n)))
+  k = grid_size * grid_size
+  g = samples[:k].reshape(grid_size, grid_size, h, w, c)
+  g = g.transpose(0, 2, 1, 3, 4).reshape(grid_size * h, grid_size * w, c)
+  return g
+
+
+def save_png(path: str, samples: np.ndarray):
+  from PIL import Image
+  g = image_grid(samples)
+  if g.shape[-1] == 1:
+    g = g[..., 0]
+  Image.fromarray(g).save(path)
+
+
+def _to_uint8(x) -> np.ndarray:
+  x = np.asarray(x)
+  return np.clip(x * 255.0, 0, 255).astype(np.uint8)
+
+
+def sample_paths(config, sample_dir, r):
+  """Artifact names mirror the reference (`sampling_lib.py:31-63`)."""
+  suffix = ""
+  if config.sampling.pc_denoise:
+    suffix = f"_denoise_{config.sampling.pc_denoise_time}"
+  elif config.sampling.more_step:
+    suffix = "_more_step"
+  return {
+      "after": os.path.join(sample_dir, f"samples_{r}{suffix}.npz"),
+      "before": os.path.join(sample_dir, f"samples_{r}_before_flow.npz"),
+      "search": os.path.join(sample_dir,
+                             f"samples_{r}_before_flow_for_search.npz"),
+      "png": os.path.join(sample_dir, f"samples_{r}{suffix}.png"),
+  }
+
+
+def get_samples(config, score_fn, flow_inverse, sampling_fn, step, r,
+                sample_dir, rng=None, temperature: float = 1.0,
+                data_mean=None, before_data=None):
+  """Run one sampling round and cache npz + PNG; skip when cached
+  (`sampling_lib.py:31-76`). Returns the after-flow uint8 samples."""
+  os.makedirs(sample_dir, exist_ok=True)
+  paths = sample_paths(config, sample_dir, r)
+  if os.path.exists(paths["after"]):
+    with np.load(paths["after"]) as z:
+      return z["samples"]
+
+  # re-use cached before-flow samples when available
+  if before_data is None and os.path.exists(paths["before"]):
+    with np.load(paths["before"]) as z:
+      before = z["samples"].astype(np.float32) / 255.0
+    after = apply_flow_inverse_chunked(config, flow_inverse, before,
+                                       temperature)
+    np.savez_compressed(paths["after"], samples=_to_uint8(after))
+    return _to_uint8(after)
+
+  if rng is None:
+    rng = jax.random.PRNGKey(int(step) * 1000 + int(r) % 1000)
+  before, after, search, nfe = sampling_fn(
+      rng, score_fn, flow_inverse, temperature=temperature,
+      data_mean=data_mean, before_data=before_data)
+  logging.info("sampling round %s done (nfe=%s)", r, int(nfe))
+
+  before_u8 = _to_uint8(before)
+  after_u8 = _to_uint8(after)
+  np.savez_compressed(paths["before"], samples=before_u8)
+  np.savez_compressed(paths["after"], samples=after_u8)
+  if search is not None:
+    np.savez_compressed(paths["search"], samples=_to_uint8(search))
+  try:
+    save_png(paths["png"], after_u8[:64])
+  except Exception as e:  # PNG is best-effort
+    logging.warning("PNG grid write failed: %s", e)
+  return after_u8
+
+
+def apply_flow_inverse_chunked(config, flow_inverse, before01: np.ndarray,
+                               temperature: float, chunk: int = 16):
+  """Re-apply the flow inverse in chunks of 16 (`sampling_lib.py:144-170`).
+  `before01` holds inverse-scaled samples in [0,1]; the flow operates in
+  model space, so we re-apply the scaler first."""
+  from indm_tpu import data as data_lib
+  scaler = data_lib.get_data_scaler(config)
+  outs = []
+  for i in range(0, len(before01), chunk):
+    x = jnp.asarray(scaler(before01[i:i + chunk]))
+    z = flow_inverse(x * temperature) if flow_inverse is not None else x
+    inv = data_lib.get_data_inverse_scaler(config)
+    outs.append(np.asarray(inv(z)))
+  return np.concatenate(outs)
+
+
+def load_all_samples(config, sample_dir) -> np.ndarray:
+  """Collect every cached after-flow round (`evaluation.py` walks the same
+  files)."""
+  outs = []
+  for name in sorted(os.listdir(sample_dir)):
+    if name.startswith("samples_") and name.endswith(".npz") \
+        and "before_flow" not in name:
+      with np.load(os.path.join(sample_dir, name)) as z:
+        outs.append(z["samples"])
+  if not outs:
+    return np.zeros((0, config.data.image_size, config.data.image_size,
+                     config.data.num_channels), np.uint8)
+  return np.concatenate(outs)

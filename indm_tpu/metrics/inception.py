@@ -1,0 +1,291 @@
+"""InceptionV3 (FID variant) in flax, NHWC.
+
+Re-implementation of the network behind the reference's two Inception paths
+(`/root/reference/cleanfid/inception_pytorch.py:21-328` — the pytorch-fid
+InceptionV3 with the FID modifications: count-exclude-pad average pools in
+the A/C blocks and a max-pool branch in the last E block; 2048-d pool3
+features + 1008-d logits).
+
+Weights: this image has no network access and ships no Inception weights.
+`load_params(path)` loads a converted .npz (see `convert_torch_state_dict`);
+without a weight file, `random_params` builds deterministic random weights —
+the full FID/KID/IS *pipeline* runs, with a loud warning that absolute
+values are not comparable to reference FIDs until real weights are supplied
+via $INDM_INCEPTION_WEIGHTS.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+POOL_DIM = 2048
+LOGITS_DIM = 1008
+
+
+class BasicConv(nn.Module):
+  features: int
+  kernel: Tuple[int, int]
+  strides: Tuple[int, int] = (1, 1)
+  padding: Sequence[Tuple[int, int]] = ((0, 0), (0, 0))
+
+  @nn.compact
+  def __call__(self, x, train: bool = False):
+    x = nn.Conv(self.features, self.kernel, strides=self.strides,
+                padding=self.padding, use_bias=False)(x)
+    x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3)(x)
+    return jax.nn.relu(x)
+
+
+def _avg_pool_exc_pad(x):
+  """3x3 stride-1 avg pool, count_include_pad=False (FID modification)."""
+  s = nn.pooling.pool(x, 0.0, jax.lax.add, (3, 3), (1, 1),
+                      ((1, 1), (1, 1)))
+  ones = jnp.ones_like(x[..., :1])
+  cnt = nn.pooling.pool(ones, 0.0, jax.lax.add, (3, 3), (1, 1),
+                        ((1, 1), (1, 1)))
+  return s / cnt
+
+
+def _max_pool(x, window=3, stride=2):
+  return nn.max_pool(x, (window, window), strides=(stride, stride))
+
+
+class InceptionA(nn.Module):
+  pool_features: int
+
+  @nn.compact
+  def __call__(self, x, train=False):
+    b1 = BasicConv(64, (1, 1), name="branch1x1")(x, train)
+    b5 = BasicConv(48, (1, 1), name="branch5x5_1")(x, train)
+    b5 = BasicConv(64, (5, 5), padding=((2, 2), (2, 2)),
+                   name="branch5x5_2")(b5, train)
+    b3 = BasicConv(64, (1, 1), name="branch3x3dbl_1")(x, train)
+    b3 = BasicConv(96, (3, 3), padding=((1, 1), (1, 1)),
+                   name="branch3x3dbl_2")(b3, train)
+    b3 = BasicConv(96, (3, 3), padding=((1, 1), (1, 1)),
+                   name="branch3x3dbl_3")(b3, train)
+    bp = _avg_pool_exc_pad(x)
+    bp = BasicConv(self.pool_features, (1, 1), name="branch_pool")(bp, train)
+    return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+  @nn.compact
+  def __call__(self, x, train=False):
+    b3 = BasicConv(384, (3, 3), strides=(2, 2), name="branch3x3")(x, train)
+    bd = BasicConv(64, (1, 1), name="branch3x3dbl_1")(x, train)
+    bd = BasicConv(96, (3, 3), padding=((1, 1), (1, 1)),
+                   name="branch3x3dbl_2")(bd, train)
+    bd = BasicConv(96, (3, 3), strides=(2, 2), name="branch3x3dbl_3")(
+        bd, train)
+    bp = _max_pool(x)
+    return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+class InceptionC(nn.Module):
+  c7: int
+
+  @nn.compact
+  def __call__(self, x, train=False):
+    c7 = self.c7
+    b1 = BasicConv(192, (1, 1), name="branch1x1")(x, train)
+    b7 = BasicConv(c7, (1, 1), name="branch7x7_1")(x, train)
+    b7 = BasicConv(c7, (1, 7), padding=((0, 0), (3, 3)),
+                   name="branch7x7_2")(b7, train)
+    b7 = BasicConv(192, (7, 1), padding=((3, 3), (0, 0)),
+                   name="branch7x7_3")(b7, train)
+    bd = BasicConv(c7, (1, 1), name="branch7x7dbl_1")(x, train)
+    bd = BasicConv(c7, (7, 1), padding=((3, 3), (0, 0)),
+                   name="branch7x7dbl_2")(bd, train)
+    bd = BasicConv(c7, (1, 7), padding=((0, 0), (3, 3)),
+                   name="branch7x7dbl_3")(bd, train)
+    bd = BasicConv(c7, (7, 1), padding=((3, 3), (0, 0)),
+                   name="branch7x7dbl_4")(bd, train)
+    bd = BasicConv(192, (1, 7), padding=((0, 0), (3, 3)),
+                   name="branch7x7dbl_5")(bd, train)
+    bp = _avg_pool_exc_pad(x)
+    bp = BasicConv(192, (1, 1), name="branch_pool")(bp, train)
+    return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+  @nn.compact
+  def __call__(self, x, train=False):
+    b3 = BasicConv(192, (1, 1), name="branch3x3_1")(x, train)
+    b3 = BasicConv(320, (3, 3), strides=(2, 2), name="branch3x3_2")(
+        b3, train)
+    b7 = BasicConv(192, (1, 1), name="branch7x7x3_1")(x, train)
+    b7 = BasicConv(192, (1, 7), padding=((0, 0), (3, 3)),
+                   name="branch7x7x3_2")(b7, train)
+    b7 = BasicConv(192, (7, 1), padding=((3, 3), (0, 0)),
+                   name="branch7x7x3_3")(b7, train)
+    b7 = BasicConv(192, (3, 3), strides=(2, 2), name="branch7x7x3_4")(
+        b7, train)
+    bp = _max_pool(x)
+    return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+class InceptionE(nn.Module):
+  pool_type: str = "avg"  # FID: 'avg' for Mixed_7b, 'max' for Mixed_7c
+
+  @nn.compact
+  def __call__(self, x, train=False):
+    b1 = BasicConv(320, (1, 1), name="branch1x1")(x, train)
+    b3 = BasicConv(384, (1, 1), name="branch3x3_1")(x, train)
+    b3a = BasicConv(384, (1, 3), padding=((0, 0), (1, 1)),
+                    name="branch3x3_2a")(b3, train)
+    b3b = BasicConv(384, (3, 1), padding=((1, 1), (0, 0)),
+                    name="branch3x3_2b")(b3, train)
+    b3 = jnp.concatenate([b3a, b3b], axis=-1)
+    bd = BasicConv(448, (1, 1), name="branch3x3dbl_1")(x, train)
+    bd = BasicConv(384, (3, 3), padding=((1, 1), (1, 1)),
+                   name="branch3x3dbl_2")(bd, train)
+    bda = BasicConv(384, (1, 3), padding=((0, 0), (1, 1)),
+                    name="branch3x3dbl_3a")(bd, train)
+    bdb = BasicConv(384, (3, 1), padding=((1, 1), (0, 0)),
+                    name="branch3x3dbl_3b")(bd, train)
+    bd = jnp.concatenate([bda, bdb], axis=-1)
+    if self.pool_type == "avg":
+      bp = _avg_pool_exc_pad(x)
+    else:
+      bp = nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+    bp = BasicConv(192, (1, 1), name="branch_pool")(bp, train)
+    return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionV3FID(nn.Module):
+  """Pool3 features + logits. Input: [B, 299, 299, 3] in [0, 1]."""
+
+  @nn.compact
+  def __call__(self, x, train: bool = False):
+    x = 2 * x - 1  # TF normalization (inception_pytorch.py input scaling)
+    x = BasicConv(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x, train)
+    x = BasicConv(32, (3, 3), name="Conv2d_2a_3x3")(x, train)
+    x = BasicConv(64, (3, 3), padding=((1, 1), (1, 1)),
+                  name="Conv2d_2b_3x3")(x, train)
+    x = _max_pool(x)
+    x = BasicConv(80, (1, 1), name="Conv2d_3b_1x1")(x, train)
+    x = BasicConv(192, (3, 3), name="Conv2d_4a_3x3")(x, train)
+    x = _max_pool(x)
+    x = InceptionA(32, name="Mixed_5b")(x, train)
+    x = InceptionA(64, name="Mixed_5c")(x, train)
+    x = InceptionA(64, name="Mixed_5d")(x, train)
+    x = InceptionB(name="Mixed_6a")(x, train)
+    x = InceptionC(128, name="Mixed_6b")(x, train)
+    x = InceptionC(160, name="Mixed_6c")(x, train)
+    x = InceptionC(160, name="Mixed_6d")(x, train)
+    x = InceptionC(192, name="Mixed_6e")(x, train)
+    x = InceptionD(name="Mixed_7a")(x, train)
+    x = InceptionE("avg", name="Mixed_7b")(x, train)
+    x = InceptionE("max", name="Mixed_7c")(x, train)
+    pool = jnp.mean(x, axis=(1, 2))  # adaptive avg pool -> 2048
+    logits = nn.Dense(LOGITS_DIM, name="fc")(pool)
+    return pool, logits
+
+
+_MODULE = InceptionV3FID()
+
+
+def random_params(seed: int = 0):
+  """Deterministic random weights — pipeline-testing fallback."""
+  logging.warning(
+      "InceptionV3: no weight file found; using DETERMINISTIC RANDOM "
+      "weights. FID/IS/KID values are internally consistent but NOT "
+      "comparable to reference numbers. Set $INDM_INCEPTION_WEIGHTS to a "
+      "converted .npz to enable real metrics.")
+  x = jnp.zeros((1, 299, 299, 3))
+  return _MODULE.init(jax.random.PRNGKey(seed), x, train=False)
+
+
+def load_params(path: Optional[str] = None):
+  """Load converted weights (.npz of flattened '/'-joined keys) or fall back
+  to deterministic random weights."""
+  path = path or os.environ.get("INDM_INCEPTION_WEIGHTS", "")
+  if not path or not os.path.exists(path):
+    return random_params()
+  import flax.serialization
+  template = jax.eval_shape(
+      lambda: _MODULE.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 299, 299, 3)), train=False))
+  with open(path, "rb") as f:
+    data = f.read()
+  variables = flax.serialization.from_bytes(template, data)
+  variables = jax.tree_util.tree_map(jnp.asarray, variables)
+  logging.info("InceptionV3 weights loaded from %s", path)
+  return variables
+
+
+def convert_torch_state_dict(state_dict, save_path: str):
+  """Convert a pytorch-fid InceptionV3 state_dict (torch tensors) to the
+  serialized flax variables this module loads. Run offline where torch
+  weights are available."""
+  import flax.serialization
+  import flax.traverse_util as tu
+
+  variables = jax.eval_shape(
+      lambda: _MODULE.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 299, 299, 3)), train=False))
+  flat = tu.flatten_dict(flax.serialization.to_state_dict(variables),
+                         sep="/")
+  out = {}
+  for k in flat:
+    parts = k.split("/")
+    col = parts[0]  # 'params' | 'batch_stats'
+    mod_path = parts[1:-1]
+    leaf = parts[-1]
+    torch_mod = ".".join(mod_path).replace("/", ".")
+    # flax auto-names: BasicConv contains Conv_0 / BatchNorm_0
+    torch_mod = torch_mod.replace(".Conv_0", ".conv").replace(
+        ".BatchNorm_0", ".bn")
+    if leaf == "kernel" and "fc" in torch_mod:
+      t = state_dict[torch_mod + ".weight"].T
+    elif leaf == "kernel":
+      t = state_dict[torch_mod + ".weight"].permute(2, 3, 1, 0)
+    elif leaf == "scale":
+      t = state_dict[torch_mod + ".weight"]
+    elif leaf == "bias":
+      t = state_dict[torch_mod + ".bias"]
+    elif leaf == "mean":
+      t = state_dict[torch_mod + ".running_mean"]
+    elif leaf == "var":
+      t = state_dict[torch_mod + ".running_var"]
+    else:
+      raise KeyError(k)
+    out[k] = np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach")
+                        else t)
+  unflat = tu.unflatten_dict({tuple(k.split("/")): v
+                              for k, v in out.items()})
+  with open(save_path, "wb") as f:
+    f.write(flax.serialization.to_bytes(unflat))
+  return save_path
+
+
+def feature_extractor(params=None, batch_size: int = 64):
+  """Return a callable images[0,1] NHWC (any size) -> (pool3, logits),
+  resizing to 299 on device (bilinear; the clean-resize PIL path lives in
+  indm_tpu.evaluation)."""
+  if params is None:
+    params = load_params()
+
+  @jax.jit
+  def run(x):
+    x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[-1]),
+                         "bilinear")
+    return _MODULE.apply(params, x, train=False)
+
+  def extract(images: np.ndarray):
+    pools, logits = [], []
+    for i in range(0, len(images), batch_size):
+      p, l = run(jnp.asarray(images[i:i + batch_size], jnp.float32))
+      pools.append(np.asarray(p))
+      logits.append(np.asarray(l))
+    return np.concatenate(pools), np.concatenate(logits)
+
+  return extract

@@ -436,11 +436,58 @@ class SequentialFlow:
     keys = jax.random.split(rng, max(len(self.layers), 1))
     for layer, p, k in zip(reversed(self.layers), reversed(params),
                            keys):
-      if isinstance(layer, IResBlock):
+      if isinstance(layer, (IResBlock, ScannedIResBlocks)):
         y, logpy = layer.inverse(p, y, logpy, h=h, rng=k, train=train)
       else:
         y, logpy = layer.inverse(p, y, logpy, h=h)
     return y, logpy
+
+
+class ScannedIResBlocks:
+  """A stack of IDENTICAL iResBlocks executed as one `lax.scan` over
+  stacked parameters — the TPU-first alternative to unrolling N blocks: the
+  compiler sees ONE block body per scale instead of N copies (compile time
+  and code size drop ~N x, runtime unchanged)."""
+
+  def __init__(self, block: IResBlock, n: int):
+    self.block = block
+    self.n = n
+
+  def init(self, rng):
+    keys = jax.random.split(rng, self.n)
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[self.block.init(k) for k in keys])
+
+  def forward(self, params, x, logpx=None, h=None, rng=None, train=False):
+    keys = jax.random.split(rng, self.n)
+    has_logp = logpx is not None
+    lp0 = logpx if has_logp else jnp.zeros((x.shape[0],), x.dtype)
+
+    def body(carry, xs):
+      xc, lp = carry
+      p, k = xs
+      xc, lp_out = self.block.forward(p, xc, lp if has_logp else None,
+                                      h=h, rng=k, train=train)
+      return (xc, lp_out if has_logp else lp), None
+
+    (x, lp), _ = jax.lax.scan(body, (x, lp0), (params, keys))
+    return x, (lp if has_logp else None)
+
+  def inverse(self, params, y, logpy=None, h=None, rng=None, train=False):
+    keys = jax.random.split(rng if rng is not None else jax.random.PRNGKey(0),
+                            self.n)
+    has_logp = logpy is not None
+    lp0 = logpy if has_logp else jnp.zeros((y.shape[0],), y.dtype)
+
+    def body(carry, xs):
+      yc, lp = carry
+      p, k = xs
+      yc, lp_out = self.block.inverse(p, yc, lp if has_logp else None,
+                                      h=h, rng=k, train=train)
+      return (yc, lp_out if has_logp else lp), None
+
+    (y, lp), _ = jax.lax.scan(body, (y, lp0), (params, keys), reverse=True)
+    return y, (lp if has_logp else None)
 
 
 def build_stacked_iresblocks(in_ch: int, idim: int, n_blocks: int,
@@ -451,22 +498,105 @@ def build_stacked_iresblocks(in_ch: int, idim: int, n_blocks: int,
                              first_resblock: bool,
                              actnorm: bool = False) -> SequentialFlow:
   """`StackediResBlocks` for resblock_type='resflow'
-  (`resflow_.py:337-518`)."""
+  (`resflow_.py:337-518`). Homogeneous runs of blocks are folded into a
+  single `lax.scan` (ScannedIResBlocks); only the first block of the first
+  scale differs (no pre-activation, `resflow_.py:442-444`)."""
   inf = float("inf")
   ps = [inf if c == "f" else float(c) for c in vnorms]
   domains, codomains = ps[:-1], ps[1:]
   ks = [int(k) for k in kernels.split("-")]
   assert len(domains) == len(ks)
 
-  chain = []
-  for i in range(n_blocks):
-    is_first = first_resblock and i == 0
+  def make_block(preact_flag):
     nnet = LipschitzNNet(in_ch, idim, kernels=tuple(ks), coeff=coeff,
                          act=activation_fn, cond_dim=cond_dim,
-                         preact=preact and not is_first,
+                         preact=preact_flag,
                          domains=domains, codomains=codomains)
-    chain.append(IResBlock(nnet, n_dist=n_dist,
-                           n_exact_terms=n_exact_terms))
+    return IResBlock(nnet, n_dist=n_dist, n_exact_terms=n_exact_terms)
+
+  chain = []
+  if actnorm:
+    # interleaved actnorms prevent scanning; fall back to the explicit chain
+    for i in range(n_blocks):
+      is_first = first_resblock and i == 0
+      chain.append(make_block(preact and not is_first))
+      chain.append(ActNorm2d(in_ch))
+  else:
+    n_special = 1 if first_resblock else 0
+    if n_special:
+      chain.append(make_block(False))
+    rest = n_blocks - n_special
+    if rest == 1:
+      chain.append(make_block(preact))
+    elif rest > 1:
+      chain.append(ScannedIResBlocks(make_block(preact), rest))
+  if squeeze:
+    chain.append(SqueezeLayer(2))
+  return SequentialFlow(chain)
+
+
+class LipschitzFCNet:
+  """Fully-connected Lipschitz net for fc-type iResBlocks
+  (`resflow_.py:521-558`): flatten -> LopLinear/act chain -> reshape."""
+
+  def __init__(self, input_shape, idim, nhidden, coeff, act="sin",
+               domains=None, codomains=None, preact=False):
+    inf = float("inf")
+    self.input_shape = tuple(input_shape)  # (H, W, C)
+    dim = int(np.prod(input_shape))
+    n = nhidden + 1
+    domains = [inf] * n if domains is None else domains
+    codomains = [inf] * n if codomains is None else codomains
+    self.act = ACT_FNS[act]
+    self.preact = preact
+    dims = [dim] + [idim] * nhidden + [dim]
+    self.linears = [lip.get_linear(dims[i], dims[i + 1], coeff,
+                                   domains[i], codomains[i])
+                    for i in range(n)]
+    self.cond_dim = None
+
+  def init(self, rng):
+    keys = jax.random.split(rng, len(self.linears))
+    return [l.init(k) for l, k in zip(self.linears, keys)]
+
+  def apply(self, params, x, h=None):
+    b = x.shape[0]
+    y = x.reshape(b, -1)
+    if self.preact:
+      y = self.act(y)
+    for i, (lin, p) in enumerate(zip(self.linears, params)):
+      y = lin.apply(p, y)
+      if i < len(self.linears) - 1:
+        y = self.act(y)
+    return y.reshape((b,) + self.input_shape)
+
+
+def build_stacked_coupling_blocks(in_ch: int, idim: int, n_blocks: int,
+                                  squeeze: bool, kernels: str,
+                                  activation_fn: str, init_layer=None,
+                                  actnorm: bool = False,
+                                  swap_start: bool = True) -> SequentialFlow:
+  """`StackedCouplingBlocks` (`resflow_.py:588-730`): channel couplings when
+  no init layer, masked checkerboard couplings otherwise."""
+  from indm_tpu.flows import coupling as coupling_lib
+  ks = [int(k) for k in kernels.split("-")]
+  chain = []
+  if init_layer is not None:
+    chain.append(init_layer)
+  swap = swap_start
+  for _ in range(n_blocks):
+    swap = not swap
+    if init_layer is None:
+      net = coupling_lib.ConvNet(in_ch // 2, in_ch, idim, tuple(ks),
+                                 act=activation_fn
+                                 if activation_fn in ACT_FNS else "elu")
+      chain.append(coupling_lib.ChannelCouplingBlock(
+          in_ch, net, mask_type=f"channel{int(swap)}"))
+    else:
+      net = coupling_lib.ConvNet(in_ch, in_ch * 2, idim, tuple(ks),
+                                 act="elu")
+      chain.append(coupling_lib.MaskedCouplingBlock(
+          in_ch, net, mask_type=f"checkerboard{int(swap)}"))
     if actnorm:
       chain.append(ActNorm2d(in_ch))
   if squeeze:
@@ -490,7 +620,7 @@ class ResidualFlow:
                activation_fn: str = "sin", n_exact_terms: int = 2,
                n_dist: str = "poisson", cond_dim: Optional[int] = None,
                preact: bool = True, first_resblock: bool = True,
-               actnorm: bool = False):
+               actnorm: bool = False, block_type: str = "resblock"):
     n_scale_max = 0
     hw = image_hw
     while hw >= 4:
@@ -503,13 +633,21 @@ class ResidualFlow:
     self.transforms = []
     c = in_ch
     for i in range(self.n_scale):
-      self.transforms.append(build_stacked_iresblocks(
-          in_ch=c, idim=intermediate_dim, n_blocks=n_blocks[i],
-          squeeze=(i < self.n_scale - 1), coeff=coeff, vnorms=vnorms,
-          kernels=kernels, activation_fn=activation_fn,
-          n_exact_terms=n_exact_terms, n_dist=n_dist, cond_dim=cond_dim,
-          preact=preact, first_resblock=first_resblock and (i == 0),
-          actnorm=actnorm))
+      if block_type == "resblock":
+        self.transforms.append(build_stacked_iresblocks(
+            in_ch=c, idim=intermediate_dim, n_blocks=n_blocks[i],
+            squeeze=(i < self.n_scale - 1), coeff=coeff, vnorms=vnorms,
+            kernels=kernels, activation_fn=activation_fn,
+            n_exact_terms=n_exact_terms, n_dist=n_dist, cond_dim=cond_dim,
+            preact=preact, first_resblock=first_resblock and (i == 0),
+            actnorm=actnorm))
+      elif block_type == "coupling":
+        self.transforms.append(build_stacked_coupling_blocks(
+            in_ch=c, idim=intermediate_dim, n_blocks=n_blocks[i],
+            squeeze=(i < self.n_scale - 1), kernels=kernels,
+            activation_fn=activation_fn, actnorm=actnorm))
+      else:
+        raise ValueError(block_type)
       c *= 4
 
   def init(self, rng):

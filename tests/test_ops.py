@@ -104,3 +104,16 @@ def test_fused_leaky_relu():
   got = ops.fused_leaky_relu(x, b)
   want = jax.nn.leaky_relu(x + b.reshape(1, 1, 1, 3), 0.2) * np.sqrt(2.0)
   np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+@pytest.mark.parametrize("up,down,pad", [
+    (1, 1, (1, 2)), (1, 2, (2, 1)), (2, 1, (2, 1)),
+])
+def test_upfirdn2d_pallas_matches_native(up, down, pad):
+  from indm_tpu.ops.upfirdn2d_pallas import upfirdn2d_pallas
+  x = _rand((2, 8, 8, 3), seed=7)
+  k = jnp.asarray(FIR_K)
+  got = upfirdn2d_pallas(x, k, up=up, down=down, pad=pad, interpret=True)
+  want = ops.upfirdn2d_native(x, k, up, up, down, down,
+                              pad[0], pad[1], pad[0], pad[1])
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -20,6 +20,16 @@ A100_REF_STEPS_PER_SEC = 1.0  # estimated PyTorch reference, batch 128
 
 def main():
   import jax
+  # Persistent compilation cache: the remote-compile relay adds minutes per
+  # executable; cache compiled programs across bench runs.
+  cache_dir = os.environ.get("JAX_COMPILATION_CACHE",
+                             os.path.join(os.path.dirname(__file__),
+                                          ".jax_cache"))
+  try:
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+  except Exception:
+    pass
   import jax.numpy as jnp
   import numpy as np
 

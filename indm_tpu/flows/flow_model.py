@@ -183,7 +183,12 @@ def update_lipschitz(flow_model: FlowModel, params):
 
   With INDM's vnorms='ffff' every Lipschitz layer is a Lop (operator-norm)
   layer whose constraint is enforced deterministically inside the forward —
-  there is no power-iteration state to converge, so this is the identity.
-  SpectralNorm layers (if configured) would call `.converge` here.
+  there is no power-iteration state and the projection is the identity.
+  SpectralNorm/InducedNorm layers carry u/v state and get a converged
+  power-iteration pass via `.converge`.
   """
-  return params
+  if flow_model is None or flow_model.resflow is None:
+    return params
+  new = dict(params)
+  new["resflow"] = flow_model.resflow.converge(params["resflow"])
+  return new

@@ -237,28 +237,192 @@ class SpectralNormConv2d:
     return {**params, "u": u, "v": v}
 
 
+# ---------------------------------------------------------------------------
+# Induced-norm layers (mixed/general p-norms) — port of
+# `flow_models/resflow/layers/base/mixed_lipschitz.py:13-405`.
+# The operator norm ||W||_{domain->codomain} is estimated by the generalized
+# power iteration (qetlab InducedMatrixNorm algorithm); u/v live in the
+# parameter pytree as explicit state. Forward uses the CURRENT u/v without
+# updating (`mixed_lipschitz.py:135-137`); the post-step `update_lipschitz`
+# projection calls `converge`.
+# ---------------------------------------------------------------------------
+
+
+def _projmax(v):
+  """All mass on the largest |entry| (`mixed_lipschitz.py` projmax_)."""
+  idx = jnp.argmax(jnp.abs(v))
+  return jnp.zeros_like(v).at[idx].set(jnp.sign(v[idx]))
+
+
+def _vector_norm(x, p):
+  return jnp.sum(jnp.abs(x) ** p) ** (1.0 / p)
+
+
+def normalize_v(v, domain):
+  if domain == 2:
+    return v / (jnp.linalg.norm(v) + 1e-12)
+  if domain == 1:
+    return _projmax(v)
+  vabs = jnp.abs(v)
+  vph = jnp.where(vabs > 0, v / jnp.maximum(vabs, 1e-38), 1.0)
+  vabs = vabs / jnp.max(vabs)
+  vabs = vabs ** (1.0 / (domain - 1.0))
+  return vph * vabs / (_vector_norm(vabs, domain) + 1e-12)
+
+
+def normalize_u(u, codomain):
+  if codomain == 2:
+    return u / (jnp.linalg.norm(u) + 1e-12)
+  if codomain == float("inf"):
+    return _projmax(u)
+  uabs = jnp.abs(u)
+  uph = jnp.where(uabs > 0, u / jnp.maximum(uabs, 1e-38), 1.0)
+  uabs = uabs / jnp.max(uabs)
+  uabs = uabs ** (codomain - 1.0)
+  if codomain == 1:
+    return uph * uabs / (jnp.max(jnp.abs(uabs)) + 1e-12)
+  return uph * uabs / (_vector_norm(uabs, codomain / (codomain - 1.0))
+                       + 1e-12)
+
+
+class InducedNormLinear:
+  """`mixed_lipschitz.py:13-147`."""
+
+  def __init__(self, in_dim, out_dim, coeff=0.97, domain=2, codomain=2):
+    self.in_dim, self.out_dim = in_dim, out_dim
+    self.coeff = coeff
+    self.domain, self.codomain = domain, codomain
+
+  def init(self, rng):
+    r1, r2, r3 = jax.random.split(rng, 3)
+    w = _kaiming_uniform(r1, (self.in_dim, self.out_dim), self.in_dim)
+    b = _kaiming_uniform(r2, (self.out_dim,), self.in_dim)
+    params = {"w": w, "b": b}
+    # best-of-10 random restarts at init (`mixed_lipschitz.py:44-58`)
+    best = None
+    n_restarts = 1 if (self.domain == 2 and self.codomain == 2) else 10
+    for i in range(n_restarts):
+      ru, rv = jax.random.split(jax.random.fold_in(r3, i))
+      u = normalize_u(jax.random.normal(ru, (self.out_dim,)), self.codomain)
+      v = normalize_v(jax.random.normal(rv, (self.in_dim,)), self.domain)
+      u, v = self._power_iter(w, u, v, 200)
+      sigma = u @ (v @ w)
+      if best is None or sigma > best[0]:
+        best = (sigma, u, v)
+    params["u"], params["v"] = best[1], best[2]
+    return params
+
+  def _power_iter(self, w, u, v, n_iter):
+    def body(i, carry):
+      u, v = carry
+      u = normalize_u(v @ w, self.codomain)          # W v
+      v = normalize_v(w @ u, self.domain)            # W^T u
+      return u, v
+    return jax.lax.fori_loop(0, n_iter, body, (u, v))
+
+  def normalized_weight(self, params):
+    u, v = lax.stop_gradient(params["u"]), lax.stop_gradient(params["v"])
+    sigma = u @ (v @ params["w"])
+    factor = jnp.maximum(1.0, sigma / self.coeff)
+    return params["w"] / factor
+
+  def apply(self, params, x, h=None):
+    return x @ self.normalized_weight(params) + params["b"]
+
+  def converge(self, params, n_iter: int = 200):
+    u, v = self._power_iter(lax.stop_gradient(params["w"]), params["u"],
+                            params["v"], n_iter)
+    return {**params, "u": u, "v": v}
+
+
+class InducedNormConv2d:
+  """`mixed_lipschitz.py:150-405`: full-tensor u/v iterated by
+  conv / conv-transpose under general p-norms."""
+
+  def __init__(self, in_ch, out_ch, kernel_size, input_hw, coeff=0.97,
+               domain=2, codomain=2, cond_dim=None):
+    self.in_ch, self.out_ch, self.k = in_ch, out_ch, kernel_size
+    self.h, self.w = input_hw
+    self.coeff = coeff
+    self.domain, self.codomain = domain, codomain
+    self.cond_dim = cond_dim
+
+  def _conv(self, w, v):
+    return lax.conv_general_dilated(
+        v, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+  def _conv_t(self, w, u):
+    return lax.conv_general_dilated(
+        u, jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+  def _power_iter(self, w, u, v, n_iter):
+    def body(i, carry):
+      u, v = carry
+      u = self._conv(w, v)
+      u = normalize_u(u.reshape(-1), self.codomain).reshape(u.shape)
+      v = self._conv_t(w, u)
+      v = normalize_v(v.reshape(-1), self.domain).reshape(v.shape)
+      return u, v
+    return lax.fori_loop(0, n_iter, body, (u, v))
+
+  def init(self, rng):
+    r1, r2, r3 = jax.random.split(rng, 3)
+    fan_in = self.in_ch * self.k * self.k
+    w = _kaiming_uniform(r1, (self.k, self.k, self.in_ch, self.out_ch),
+                         fan_in)
+    b = _kaiming_uniform(r2, (self.out_ch,), fan_in)
+    ru, rv = jax.random.split(r3)
+    v = jax.random.normal(rv, (1, self.h, self.w, self.in_ch))
+    v = normalize_v(v.reshape(-1), self.domain).reshape(v.shape)
+    u = self._conv(w, v)
+    u = normalize_u(u.reshape(-1), self.codomain).reshape(u.shape)
+    u, v = self._power_iter(w, u, v, 200)
+    return {"w": w, "b": b, "u": u, "v": v}
+
+  def normalized_weight(self, params):
+    u = lax.stop_gradient(params["u"])
+    v = lax.stop_gradient(params["v"])
+    sigma = jnp.sum(u * self._conv(params["w"], v))
+    factor = jnp.maximum(1.0, sigma / self.coeff)
+    return params["w"] / factor
+
+  def apply(self, params, x, h=None):
+    w = self.normalized_weight(params)
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + params["b"]
+
+  def converge(self, params, n_iter: int = 200):
+    u, v = self._power_iter(lax.stop_gradient(params["w"]), params["u"],
+                            params["v"], n_iter)
+    return {**params, "u": u, "v": v}
+
+
 def get_conv2d(in_ch, out_ch, kernel_size, coeff, domain, codomain,
-               cond_dim=None, **kwargs):
-  """Factory mirroring `lipschitz.py:523-533` + wolf's `get_convcond2d`.
-  For (inf, inf) and the other Lop-eligible combinations returns LopConv2d;
-  induced-norm (learned-p) layers are not yet implemented."""
+               cond_dim=None, input_hw=None, **kwargs):
+  """Factory mirroring `lipschitz.py:523-533` + wolf's `get_convcond2d`:
+  Lop layers for the operator-norm-computable (domain, codomain) pairs,
+  InducedNorm power iteration otherwise."""
   inf = float("inf")
   lop_ok = (domain == 1 and codomain in (1, 2, inf)) or \
            (codomain == inf and domain in (2, inf))
-  if not lop_ok:
-    raise NotImplementedError(
-        "InducedNorm (learned-p) layers not yet implemented; "
-        "use vnorms combinations resolving to Lop layers.")
-  return LopConv2d(in_ch, out_ch, kernel_size, coeff=coeff, domain=domain,
-                   codomain=codomain, cond_dim=cond_dim)
+  if lop_ok:
+    return LopConv2d(in_ch, out_ch, kernel_size, coeff=coeff, domain=domain,
+                     codomain=codomain, cond_dim=cond_dim)
+  if input_hw is None:
+    raise ValueError("InducedNormConv2d requires input_hw for its u/v state")
+  return InducedNormConv2d(in_ch, out_ch, kernel_size, input_hw, coeff=coeff,
+                           domain=domain, codomain=codomain,
+                           cond_dim=cond_dim)
 
 
 def get_linear(in_dim, out_dim, coeff, domain, codomain, **kwargs):
   inf = float("inf")
   lop_ok = (domain == 1 and codomain in (1, 2, inf)) or \
            (codomain == inf and domain in (2, inf))
-  if not lop_ok:
-    raise NotImplementedError(
-        "InducedNorm (learned-p) layers not yet implemented.")
-  return LopLinear(in_dim, out_dim, coeff=coeff, domain=domain,
-                   codomain=codomain)
+  if lop_ok:
+    return LopLinear(in_dim, out_dim, coeff=coeff, domain=domain,
+                     codomain=codomain)
+  return InducedNormLinear(in_dim, out_dim, coeff=coeff, domain=domain,
+                           codomain=codomain)

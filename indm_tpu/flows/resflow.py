@@ -199,6 +199,12 @@ class LipschitzNNet:
         x = self.act(x)
     return x
 
+  def converge(self, params, n_iter: int = 200):
+    """Converged power-iteration projection for stateful layers
+    (`resflow/utils.py:126-132`); identity for Lop layers."""
+    return [c.converge(p, n_iter) if hasattr(c, "converge") else p
+            for c, p in zip(self.convs, params)]
+
 
 # ---------------------------------------------------------------------------
 # iResBlock (`layers/iresblock.py`)
@@ -261,6 +267,11 @@ class IResBlock:
 
   def init(self, rng):
     return {"nnet": self.nnet.init(rng)}
+
+  def converge(self, params, n_iter: int = 200):
+    if hasattr(self.nnet, "converge"):
+      return {"nnet": self.nnet.converge(params["nnet"], n_iter)}
+    return params
 
   def _sample_n(self, rng):
     if self.n_dist == "poisson":
@@ -442,6 +453,10 @@ class SequentialFlow:
         y, logpy = layer.inverse(p, y, logpy, h=h)
     return y, logpy
 
+  def converge(self, params, n_iter: int = 200):
+    return [l.converge(p, n_iter) if hasattr(l, "converge") else p
+            for l, p in zip(self.layers, params)]
+
 
 class ScannedIResBlocks:
   """A stack of IDENTICAL iResBlocks executed as one `lax.scan` over
@@ -457,6 +472,9 @@ class ScannedIResBlocks:
     keys = jax.random.split(rng, self.n)
     return jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *[self.block.init(k) for k in keys])
+
+  def converge(self, params, n_iter: int = 200):
+    return jax.vmap(lambda p: self.block.converge(p, n_iter))(params)
 
   def forward(self, params, x, logpx=None, h=None, rng=None, train=False):
     keys = jax.random.split(rng, self.n)
@@ -653,6 +671,11 @@ class ResidualFlow:
   def init(self, rng):
     keys = jax.random.split(rng, self.n_scale)
     return [t.init(k) for t, k in zip(self.transforms, keys)]
+
+  def converge(self, params, n_iter: int = 200):
+    """Post-step Lipschitz projection over all scales
+    (`resflow/utils.py:126-132`)."""
+    return [t.converge(p, n_iter) for t, p in zip(self.transforms, params)]
 
   def forward(self, params, x, logpx=None, h=None, rng=None, train=False):
     if rng is None:

@@ -21,6 +21,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None):
+  """Persistent XLA compilation cache. On this stack first compiles route
+  through a remote-compile relay costing minutes per executable; caching
+  makes reruns instant."""
+  import os
+  cache_dir = cache_dir or os.environ.get(
+      "JAX_COMPILATION_CACHE",
+      os.path.join(os.path.dirname(os.path.dirname(
+          os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+  try:
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+  except Exception:  # older jax without the flags
+    pass
+
+
 def get_mesh(devices: Optional[Sequence] = None,
              axis_name: str = DATA_AXIS) -> Mesh:
   devices = jax.devices() if devices is None else list(devices)

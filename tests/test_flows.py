@@ -162,3 +162,32 @@ def test_actnorm_and_invertible_conv_logdet():
   np.testing.assert_allclose(np.asarray(logpx), 0.0, atol=1e-4)
   x_rec, _ = ic.inverse(p, y, logpx)
   np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-5)
+
+
+def test_induced_norm_sigma_matches_svd():
+  """InducedNorm(2,2) power iteration must find the top singular value
+  (SURVEY.md §4(e))."""
+  lin = lip.InducedNormLinear(12, 10, coeff=0.97, domain=2, codomain=2)
+  params = lin.init(jax.random.PRNGKey(0))
+  w = params["w"]
+  sigma_true = float(jnp.linalg.svd(w, compute_uv=False)[0])
+  u, v = params["u"], params["v"]
+  sigma_est = float(u @ (v @ w))
+  assert abs(sigma_est - sigma_true) / sigma_true < 1e-3
+  # soft normalization bounds the spectral norm by coeff
+  params = {**params, "w": w * 5.0}
+  params = lin.converge(params, n_iter=200)
+  wn = lin.normalized_weight(params)
+  assert float(jnp.linalg.svd(wn, compute_uv=False)[0]) <= 0.97 * 1.01
+
+
+def test_spectral_norm_conv_converge():
+  conv = lip.SpectralNormConv2d(3, 4, 3, input_hw=(6, 6), coeff=0.9)
+  params = conv.init(jax.random.PRNGKey(1))
+  params = {**params, "w": params["w"] * 3.0}
+  params = conv.converge(params, n_iter=100)
+  w, _ = conv.normalized_weight(params, update=False)
+  # apply to the converged v: ||conv(v)|| <= coeff approximately
+  v = params["v"]
+  out = conv._conv(w, v)
+  assert float(jnp.linalg.norm(out)) <= 0.9 * 1.05

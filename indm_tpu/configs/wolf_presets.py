@@ -54,9 +54,19 @@ PRESETS = {
 
 
 def load_wolf_params(model_config: str) -> dict:
-  """Resolve a wolf model config: a registered preset key, or a JSON path."""
+  """Resolve a wolf model config: a registered preset key, a vendored JSON
+  under indm_tpu/configs/wolf_configs/ (the full 22-preset matrix, addressed
+  by the reference's path strings), or a filesystem JSON path."""
   if model_config in PRESETS:
     return copy.deepcopy(PRESETS[model_config])
+  rel = model_config
+  prefix = "flow_models/wolf/wolf_configs/"
+  if rel.startswith(prefix):
+    rel = rel[len(prefix):]
+  vendored = os.path.join(os.path.dirname(__file__), "wolf_configs", rel)
+  if os.path.exists(vendored):
+    with open(vendored) as f:
+      return json.load(f)
   if os.path.exists(model_config):
     with open(model_config) as f:
       return json.load(f)

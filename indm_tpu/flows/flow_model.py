@@ -50,32 +50,60 @@ class FlowModel:
       img, ch = img // 2, ch * 4
     n_blocks = tuple(int(b) for b in config.flow.nblocks.split("-"))
 
+    self.gen_kind = "resflow"
+    self.gen_module = None
     if self.kind == "resflow":
       cond_dim = None
     elif self.kind == "wolf":
       cond_dim = _WOLF_H_DIM
       self.wolf_params = load_wolf_params(config.flow.model_config)
       self.disc = wolf_lib.make_discriminator(self.wolf_params)
+      self.gen_kind = self.wolf_params["generator"]["flow"].get("type",
+                                                                "resflow")
     else:
       raise NotImplementedError(self.kind)
 
-    # INDM instantiation (`flow_models/flow_model.py:93-100`,
-    # `wolf generator.py:101-106`): vnorms='ffff', coeff 0.98 default,
-    # poisson log-det, act from config.
-    self.resflow = ResidualFlow(
-        image_hw=img, in_ch=ch, n_blocks=n_blocks,
-        intermediate_dim=config.flow.intermediate_dim,
-        coeff=0.98, vnorms="ffff", kernels="3-1-3",
-        activation_fn=config.flow.act_fn, n_exact_terms=2,
-        n_dist="poisson", cond_dim=cond_dim, preact=True,
-        first_resblock=True, actnorm=config.flow.actnorm)
+    if self.gen_kind == "resflow":
+      # INDM instantiation (`flow_models/flow_model.py:93-100`,
+      # `wolf generator.py:101-106`): vnorms='ffff', coeff 0.98 default,
+      # poisson log-det, act from config.
+      self.resflow = ResidualFlow(
+          image_hw=img, in_ch=ch, n_blocks=n_blocks,
+          intermediate_dim=config.flow.intermediate_dim,
+          coeff=0.98, vnorms="ffff", kernels="3-1-3",
+          activation_fn=config.flow.act_fn, n_exact_terms=2,
+          n_dist="poisson", cond_dim=cond_dim, preact=True,
+          first_resblock=True, actnorm=config.flow.actnorm)
+    else:
+      # glow / macow generators built from the wolf JSON
+      # (`wolf generator.py:106-108`, Flow.by_name registry).
+      from indm_tpu.flows import wolf_glow, wolf_macow  # noqa: F401
+      gp = dict(self.wolf_params["generator"]["flow"])
+      gp.pop("type", None)
+      gp.pop("inverse", None)         # direction bookkeeping, handled here
+      ct = gp.pop("coupling_type", "conv")
+      assert ct == "conv", f"coupling_type {ct} not supported"
+      if "num_groups" in gp and gp.get("normalize") != "group_norm":
+        gp.pop("num_groups")
+      self.gen_module = wolf_glow.flow_by_name(self.gen_kind).from_params(gp)
 
   def init(self, rng) -> Tuple[Dict, Dict]:
     """Returns (params, buffers)."""
     if self.kind == "identity":
       return {}, {}
     r1, r2, r3 = jax.random.split(rng, 3)
-    params = {"resflow": self.resflow.init(r1)}
+    img = self.config.data.image_size
+    ch = self.config.data.num_channels
+    if self.squeeze:
+      img, ch = img // 2, ch * 4
+    if self.gen_kind == "resflow":
+      params = {"resflow": self.resflow.init(r1)}
+    else:
+      x = jnp.zeros((2, img, img, ch))
+      h = (jnp.zeros((2, _WOLF_H_DIM))
+           if self.gen_module.h_channels else None)
+      gen_vars = self.gen_module.init(r1, x, h=h, train=False)
+      params = {"gen": gen_vars["params"]}
     buffers = {}
     if self.disc is not None:
       img = self.config.data.image_size
@@ -156,18 +184,33 @@ def flow_forward(config, flow_model: FlowModel, params, buffers, x,
     if not reverse:
       h, kl, new_buffers = flow_model.sampling_and_kl(params, buffers, x,
                                                       rng_h, train)
-      z, logpx = flow_model.resflow.fwdpass(
-          params["resflow"], x, h=h, rng=rng_f, train=train,
-          eval_logdet=eval_logdet)
-      # reference: loss = -logdet_fwdpass - kl; flow_forward returns it as
-      # 'logdet_kl' (`wolf.py:126-128`, `flow_model.py:58`); note fwdpass's
-      # logpx == -sum(logdetgrad), so this equals +log|det| - KL ... the
-      # joint loss then uses -(this) (`losses.py:296-301`).
-      logdet = (-logpx - kl) if eval_logdet else None
+      if flow_model.gen_kind == "resflow":
+        z, logpx = flow_model.resflow.fwdpass(
+            params["resflow"], x, h=h, rng=rng_f, train=train,
+            eval_logdet=eval_logdet)
+        # reference: loss = -logdet_fwdpass - kl; flow_forward returns it
+        # as 'logdet_kl' (`wolf.py:126-128`, `flow_model.py:58`); fwdpass's
+        # logpx == -sum(logdetgrad), so this equals +log|det| - KL; the
+        # joint loss then uses -(this) (`losses.py:296-301`).
+        logdet = (-logpx - kl) if eval_logdet else None
+      else:
+        # glow/macow generators are built with inverse=True in the JSON:
+        # encoding runs the module's reverse pass.
+        h_in = h if flow_model.gen_module.h_channels else None
+        z, ld = flow_model.gen_module.apply({"params": params["gen"]}, x,
+                                            h=h_in, reverse=True,
+                                            train=train)
+        logdet = (ld - kl) if eval_logdet else None
     else:
       h = flow_model.sample_prior(params, buffers, x.shape[0], rng_h)
-      z, _ = flow_model.resflow.bwdpass(params["resflow"], x, h=h,
-                                        rng=rng_f)
+      if flow_model.gen_kind == "resflow":
+        z, _ = flow_model.resflow.bwdpass(params["resflow"], x, h=h,
+                                          rng=rng_f)
+      else:
+        h_in = h if flow_model.gen_module.h_channels else None
+        z, _ = flow_model.gen_module.apply({"params": params["gen"]}, x,
+                                           h=h_in, reverse=False,
+                                           train=train)
       logdet = None
       new_buffers = buffers
   else:

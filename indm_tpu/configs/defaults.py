@@ -125,6 +125,10 @@ def get_default_configs(dataset: str = "CIFAR10") -> ml_collections.ConfigDict:
   flow.actnorm = False
   flow.grad_in_forward = False
   flow.act_fn = "sin"
+  # JAX-specific: >0 replaces the dynamic-length Neumann while_loop with a
+  # fixed unroll of this many VJP terms (compile-friendlier; tiny clipped-
+  # tail bias). 0 = exact dynamic loop (reference semantics).
+  flow.logdet_unroll = 0
 
   config.seed = 42
   config.datadir = "."

@@ -246,7 +246,8 @@ class IResBlock:
                n_power_series: Optional[int] = None,
                n_exact_terms: int = 2, neumann_grad: bool = True,
                inverse_atol: float = 1e-5, inverse_rtol: float = 1e-5,
-               inverse_max_iter: int = 1000):
+               inverse_max_iter: int = 1000,
+               unroll_terms: Optional[int] = None):
     self.nnet = nnet
     self.n_dist = n_dist
     self.lamb = lamb
@@ -258,6 +259,12 @@ class IResBlock:
     self.inverse_atol = inverse_atol
     self.inverse_rtol = inverse_rtol
     self.inverse_max_iter = inverse_max_iter
+    # unroll_terms > 0: replace the dynamic-length Neumann while_loop with a
+    # FIXED unroll of that many VJP terms (coefficients still carry the
+    # Russian-roulette reweighting; the sampled n is clipped to the unroll
+    # length, a O((L^unroll)) truncation bias for Lipschitz constant L<=0.98).
+    # Compiles to much simpler HLO — preferable inside scanned stacks.
+    self.unroll_terms = unroll_terms
     self._rcdf = {}
     for offset in (n_exact_terms, 20):
       if n_dist == "poisson":
@@ -355,20 +362,29 @@ class IResBlock:
       # (`iresblock.py:249-258`).
       _, vjp_sg = jax.vjp(lambda xx: self._g(params_sg, xx, h_sg), x_sg)
 
-      def body(carry):
-        k, v, acc = carry
-        (v,) = vjp_sg(v)
-        sign = 1.0 - 2.0 * (k % 2).astype(jnp.float32)  # (-1)^k
-        acc = acc + sign * coeff(k) * v
-        return k + 1, v, acc
+      if self.unroll_terms:
+        # fixed unroll: same coefficients, n clipped to the unroll length
+        v = vareps
+        acc = jnp.zeros_like(vareps)
+        for k in range(1, self.unroll_terms + 1):
+          (v,) = vjp_sg(v)
+          sign = -1.0 if k % 2 == 1 else 1.0
+          acc = acc + sign * coeff(jnp.asarray(k, jnp.int32)) * v
+      else:
+        def body(carry):
+          k, v, acc = carry
+          (v,) = vjp_sg(v)
+          sign = 1.0 - 2.0 * (k % 2).astype(jnp.float32)  # (-1)^k
+          acc = acc + sign * coeff(k) * v
+          return k + 1, v, acc
 
-      def cond_fn(carry):
-        k, _, _ = carry
-        return k <= n_pow
+        def cond_fn(carry):
+          k, _, _ = carry
+          return k <= n_pow
 
-      _, _, acc = lax.while_loop(
-          cond_fn, body,
-          (jnp.asarray(1, jnp.int32), vareps, jnp.zeros_like(vareps)))
+        _, _, acc = lax.while_loop(
+            cond_fn, body,
+            (jnp.asarray(1, jnp.int32), vareps, jnp.zeros_like(vareps)))
       u = sg(vareps + acc)
 
       g, vjp = jax.vjp(lambda xx: self._g(params, xx, h), x)
@@ -514,7 +530,9 @@ def build_stacked_iresblocks(in_ch: int, idim: int, n_blocks: int,
                              n_exact_terms: int, n_dist: str,
                              cond_dim: Optional[int], preact: bool,
                              first_resblock: bool,
-                             actnorm: bool = False) -> SequentialFlow:
+                             actnorm: bool = False,
+                             unroll_terms: Optional[int] = None
+                             ) -> SequentialFlow:
   """`StackediResBlocks` for resblock_type='resflow'
   (`resflow_.py:337-518`). Homogeneous runs of blocks are folded into a
   single `lax.scan` (ScannedIResBlocks); only the first block of the first
@@ -530,7 +548,8 @@ def build_stacked_iresblocks(in_ch: int, idim: int, n_blocks: int,
                          act=activation_fn, cond_dim=cond_dim,
                          preact=preact_flag,
                          domains=domains, codomains=codomains)
-    return IResBlock(nnet, n_dist=n_dist, n_exact_terms=n_exact_terms)
+    return IResBlock(nnet, n_dist=n_dist, n_exact_terms=n_exact_terms,
+                     unroll_terms=unroll_terms)
 
   chain = []
   if actnorm:
@@ -638,7 +657,8 @@ class ResidualFlow:
                activation_fn: str = "sin", n_exact_terms: int = 2,
                n_dist: str = "poisson", cond_dim: Optional[int] = None,
                preact: bool = True, first_resblock: bool = True,
-               actnorm: bool = False, block_type: str = "resblock"):
+               actnorm: bool = False, block_type: str = "resblock",
+               unroll_terms: Optional[int] = None):
     n_scale_max = 0
     hw = image_hw
     while hw >= 4:
@@ -658,7 +678,7 @@ class ResidualFlow:
             kernels=kernels, activation_fn=activation_fn,
             n_exact_terms=n_exact_terms, n_dist=n_dist, cond_dim=cond_dim,
             preact=preact, first_resblock=first_resblock and (i == 0),
-            actnorm=actnorm))
+            actnorm=actnorm, unroll_terms=unroll_terms))
       elif block_type == "coupling":
         self.transforms.append(build_stacked_coupling_blocks(
             in_ch=c, idim=intermediate_dim, n_blocks=n_blocks[i],

@@ -46,6 +46,12 @@ def main():
 
   cfg = get_config("vp/CIFAR10/indm_nll")
   cfg.training.batch_size = batch_size
+  # Static Neumann unroll: identical estimator with the Russian-roulette
+  # coefficients, tail clipped at 8 VJP terms (P[n+2 > 8] ~ 1.7% for
+  # Poisson(2); per-term magnitude <= 0.98^8/8). The dynamic while_loop
+  # variant is semantically exact but compiles poorly through this stack's
+  # remote-compile relay.
+  cfg.flow.logdet_unroll = int(os.environ.get("BENCH_LOGDET_UNROLL", 8))
 
   rng = jax.random.PRNGKey(0)
   module, variables = create_model(cfg, rng)

@@ -137,6 +137,32 @@ def compute_fid_and_is(config, sample_dir, assetdir=None,
   return report
 
 
+def fid_folder(config, folder: str, assetdir=None, params=None,
+               mode: str = "clean", batch_size: int = 64):
+  """FID of a folder of images (PNG/JPG) against the dataset statistics —
+  the `cleanfid.fid.fid_folder` pipeline (`cleanfid/fid.py:228-277`)."""
+  from PIL import Image
+  if params is None:
+    params = inception_lib.load_params()
+  files = sorted(
+      os.path.join(folder, f) for f in os.listdir(folder)
+      if f.lower().endswith((".png", ".jpg", ".jpeg", ".npy")))
+  if not files:
+    raise FileNotFoundError(f"no images under {folder}")
+  imgs = []
+  for f in files:
+    if f.endswith(".npy"):
+      imgs.append(np.load(f))
+    else:
+      imgs.append(np.asarray(Image.open(f).convert("RGB")))
+  imgs = np.stack(imgs).astype(np.uint8)
+  feats, _ = get_inception_features(imgs, params=params, mode=mode,
+                                    batch_size=batch_size)
+  mu, sigma = compute_statistics(feats)
+  mu_r, sigma_r, _ = dataset_statistics(config, assetdir, params, mode)
+  return frechet_distance(mu, sigma, mu_r, sigma_r)
+
+
 # ---------------------------------------------------------------------------
 # bits/dim harness (`evaluation.py:388-495`)
 # ---------------------------------------------------------------------------

@@ -36,7 +36,9 @@ def test_train_loop_and_resume(tmp_path):
   cfg = tiny_cfg(tmp_path)
   workdir = str(tmp_path / "work")
   state = run_lib.train(cfg, workdir)
-  assert int(state.step) == cfg.training.n_iters
+  # reference loop runs steps 0..n_iters inclusive (`run_lib.py:82`), the
+  # step counter increments once per call -> final counter = n_iters + 1
+  assert int(state.step) == cfg.training.n_iters + 1
   # meta checkpoint written at step 2
   meta = os.path.join(workdir, "checkpoints-meta", "checkpoint.msgpack")
   assert os.path.exists(meta)
@@ -47,7 +49,8 @@ def test_train_loop_and_resume(tmp_path):
   # resume: load_model restores step from the meta checkpoint
   state2, module, opt, _, _ = run_lib.load_model(cfg, workdir,
                                                  jax.random.PRNGKey(0))
-  assert int(state2.step) == 2  # last preemption snapshot
+  # meta written at loop step 2, after the step fn had incremented to 3
+  assert int(state2.step) == 3  # last preemption snapshot
 
 
 def test_checkpoint_roundtrip(tmp_path):

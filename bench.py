@@ -46,6 +46,9 @@ def main():
 
   cfg = get_config("vp/CIFAR10/indm_nll")
   cfg.training.batch_size = batch_size
+  # BENCH_FLOW=identity benches the score-only step (flow cost ablation).
+  if os.environ.get("BENCH_FLOW"):
+    cfg.flow.model = os.environ["BENCH_FLOW"]
   # Static Neumann unroll: identical estimator with the Russian-roulette
   # coefficients, tail clipped at 8 VJP terms (P[n+2 > 8] ~ 1.7% for
   # Poisson(2); per-term magnitude <= 0.98^8/8). The dynamic while_loop
@@ -57,23 +60,28 @@ def main():
   module, variables = create_model(cfg, rng)
   sde = sde_lib.get_sde(cfg)
   flow_model = create_flow_model(cfg)
-  f_params, f_buffers = flow_model.init(jax.random.PRNGKey(1))
 
   score_opt = state_lib.make_optimizer(cfg)
-  flow_opt = state_lib.make_optimizer(cfg, lr=cfg.flow.lr)
   score_state = state_lib.init_train_state(
       cfg, variables["params"],
       {k: v for k, v in variables.items() if k != "params"},
       score_opt, jax.random.PRNGKey(2))
-  flow_state = state_lib.init_train_state(cfg, f_params, f_buffers, flow_opt,
-                                          jax.random.PRNGKey(3))
 
-  step = joint_lib.make_joint_step_fn(cfg, sde, module, flow_model,
-                                      score_opt, flow_opt, train=True)
   mesh = parallel.get_mesh()
+  if flow_model is None:
+    from indm_tpu import losses as losses_lib
+    step = losses_lib.make_score_step_fn(cfg, sde, module, score_opt,
+                                         train=True)
+    state = parallel.replicate(score_state, mesh)
+  else:
+    flow_opt = state_lib.make_optimizer(cfg, lr=cfg.flow.lr)
+    f_params, f_buffers = flow_model.init(jax.random.PRNGKey(1))
+    flow_state = state_lib.init_train_state(cfg, f_params, f_buffers,
+                                            flow_opt, jax.random.PRNGKey(3))
+    step = joint_lib.make_joint_step_fn(cfg, sde, module, flow_model,
+                                        score_opt, flow_opt, train=True)
+    state = parallel.replicate((score_state, flow_state), mesh)
   p_step = parallel.jit_train_step(step, mesh, donate_state=True)
-
-  state = parallel.replicate((score_state, flow_state), mesh)
   batch = np.random.default_rng(0).uniform(
       -1, 1, (batch_size, 32, 32, 3)).astype(np.float32)
   batch = parallel.shard_batch(batch, mesh)

@@ -72,6 +72,118 @@ def _load_npz(dirname: str, dataset: str):
   return None
 
 
+# ---------------------------------------------------------------------------
+# Per-dataset geometry ops (`datasets.py:73-103,185-240`), PIL host-side.
+# ---------------------------------------------------------------------------
+
+
+def _central_crop(img, size: int):
+  h, w = img.shape[:2]
+  top, left = (h - size) // 2, (w - size) // 2
+  return img[top:top + size, left:left + size]
+
+
+def _pil_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
+  from PIL import Image
+  return np.asarray(Image.fromarray(img).resize((w, h), Image.BICUBIC))
+
+
+def _resize_small(img: np.ndarray, size: int) -> np.ndarray:
+  """Resize preserving aspect so the SMALLER side == size
+  (`datasets.py:85-94`)."""
+  h, w = img.shape[:2]
+  ratio = size / min(h, w)
+  return _pil_resize(img, round(h * ratio), round(w * ratio))
+
+
+def _crop_resize(img: np.ndarray, size: int) -> np.ndarray:
+  """Center-crop to square then resize (`datasets.py:73-83`)."""
+  crop = min(img.shape[:2])
+  return _pil_resize(_central_crop(img, crop), size, size)
+
+
+def _preprocess_image(config, img: np.ndarray) -> np.ndarray:
+  """The reference's per-dataset resize_op (`datasets.py:185-240`)."""
+  ds = config.data.dataset.upper()
+  size = config.data.image_size
+  if ds == "CELEBA":
+    img = _central_crop(img, 140)
+    img = _resize_small(img, size)
+    img = _central_crop(img, size)
+  elif ds == "LSUN":
+    if size == 128:
+      img = _resize_small(img, size)
+      img = _central_crop(img, size)
+    else:
+      img = _crop_resize(img, size)
+  elif img.shape[0] != size or img.shape[1] != size:
+    img = _pil_resize(img, size, size)
+  return img
+
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+
+
+def _list_images(folder: str):
+  out = []
+  for root, _, files in os.walk(folder):
+    for f in files:
+      if f.lower().endswith(_IMG_EXTS):
+        out.append(os.path.join(root, f))
+  return sorted(out)
+
+
+def _load_image_folder(config, dirname: str):
+  """Folder datasets (the torch-DataLoader path of the reference,
+  `datasets.py:40-54,145-161`): looks for `<dirname>/<dataset>/` (or the
+  LSUN `<dataset>/<category>/`), with optional train/ + {test,val,valid}/
+  subsplits; flat folders get a deterministic 95/5 split. Processed arrays
+  are cached as `<dataset>_<size>.npz` beside the folder."""
+  from PIL import Image
+  ds = config.data.dataset
+  candidates = [os.path.join(dirname, ds), os.path.join(dirname, ds.lower())]
+  if ds.upper() == "LSUN" and config.data.get("category"):
+    candidates = [os.path.join(dirname, "lsun", config.data.category),
+                  os.path.join(dirname, "LSUN", config.data.category)]
+  base = next((c for c in candidates if os.path.isdir(c)), None)
+  if base is None:
+    return None
+
+  cache = os.path.join(dirname,
+                       f"{ds.lower()}_{config.data.image_size}.npz")
+  if os.path.exists(cache):
+    with np.load(cache) as z:
+      return z["train"], z["test"]
+
+  def load_all(files):
+    imgs = []
+    for f in files:
+      img = np.asarray(Image.open(f).convert("RGB"))
+      imgs.append(_preprocess_image(config, img))
+    return np.stack(imgs).astype(np.uint8)
+
+  train_dir = os.path.join(base, "train")
+  test_dir = next((os.path.join(base, n) for n in ("test", "val", "valid")
+                   if os.path.isdir(os.path.join(base, n))), None)
+  if os.path.isdir(train_dir):
+    train_files = _list_images(train_dir)
+    test_files = _list_images(test_dir) if test_dir else train_files[-1:]
+  else:
+    files = _list_images(base)
+    if not files:
+      return None
+    n_test = max(1, len(files) // 20)
+    train_files, test_files = files[:-n_test], files[-n_test:]
+  if not train_files:
+    return None
+  train, test = load_all(train_files), load_all(test_files)
+  try:
+    np.savez_compressed(cache, train=train, test=test)
+  except OSError:
+    logging.warning("could not write dataset cache %s", cache)
+  return train, test
+
+
 def _synthetic(config, n_train=512, n_test=128):
   logging.warning(
       "No on-disk dataset found for %s; using deterministic synthetic data "
@@ -98,6 +210,9 @@ def load_arrays(config) -> Tuple[np.ndarray, np.ndarray]:
       if out is not None:
         return out
     out = _load_npz(d, ds)
+    if out is not None:
+      return out
+    out = _load_image_folder(config, d)
     if out is not None:
       return out
   return _synthetic(config)

@@ -267,25 +267,45 @@ def convert_torch_state_dict(state_dict, save_path: str):
   return save_path
 
 
-def feature_extractor(params=None, batch_size: int = 64):
+def feature_extractor(params=None, batch_size: int = 64, mesh=None):
   """Return a callable images[0,1] NHWC (any size) -> (pool3, logits),
   resizing to 299 on device (bilinear; the clean-resize PIL path lives in
-  indm_tpu.evaluation)."""
+  indm_tpu.evaluation).
+
+  The forward is sharded over the device mesh — the TPU-native equivalent
+  of the reference's per-GPU tf.device Inception sharding
+  (`evaluation.py:119-158`, SURVEY.md §2.7). Ragged tails are zero-padded
+  to the fixed batch shape so every call hits the same executable."""
+  from indm_tpu import parallel
+
   if params is None:
     params = load_params()
+  if mesh is None:
+    mesh = parallel.get_mesh()
+  n_dev = len(mesh.devices.reshape(-1))
+  batch_size = max(batch_size, n_dev) // n_dev * n_dev
 
-  @jax.jit
-  def run(x):
-    x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[-1]),
-                         "bilinear")
-    return _MODULE.apply(params, x, train=False)
+  run = jax.jit(
+      lambda x: _MODULE.apply(
+          params,
+          jax.image.resize(x, (x.shape[0], 299, 299, x.shape[-1]),
+                           "bilinear"),
+          train=False),
+      in_shardings=parallel.batch_sharding(mesh))
 
   def extract(images: np.ndarray):
     pools, logits = [], []
     for i in range(0, len(images), batch_size):
-      p, l = run(jnp.asarray(images[i:i + batch_size], jnp.float32))
-      pools.append(np.asarray(p))
-      logits.append(np.asarray(l))
+      chunk = np.asarray(images[i:i + batch_size], np.float32)
+      n = len(chunk)
+      if n < batch_size:  # pad to the fixed shape, trim after
+        chunk = np.concatenate(
+            [chunk, np.zeros((batch_size - n,) + chunk.shape[1:],
+                             np.float32)])
+      p, l = run(jax.device_put(chunk,
+                                parallel.batch_sharding(mesh)))
+      pools.append(np.asarray(p)[:n])
+      logits.append(np.asarray(l)[:n])
     return np.concatenate(pools), np.concatenate(logits)
 
   return extract

@@ -242,15 +242,22 @@ class EpochIterator:
     return (self.rng.permutation(n) if self.shuffle else np.arange(n))
 
   def _producer(self):
+    from indm_tpu import native
+    batch_seed = 0
     while not self._stop.is_set():
       order = self._epoch_order()
       nb = len(order) // self.batch_size  # drop_remainder
       for i in range(nb):
         idx = order[i * self.batch_size:(i + 1) * self.batch_size]
-        batch = self.data[idx].astype(np.float32) / 255.0
-        if self.random_flip:
-          flips = self.rng.random(len(idx)) < 0.5
-          batch[flips] = batch[flips, :, ::-1]
+        # fused C++ gather+flip+normalize when the native loader built
+        batch = native.fill_batch(self.data, idx, seed=batch_seed,
+                                  random_flip=self.random_flip)
+        batch_seed += 1
+        if batch is None:  # numpy fallback
+          batch = self.data[idx].astype(np.float32) / 255.0
+          if self.random_flip:
+            flips = self.rng.random(len(idx)) < 0.5
+            batch[flips] = batch[flips, :, ::-1]
         self.q.put(batch)
         if self._stop.is_set():
           return

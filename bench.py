@@ -55,6 +55,8 @@ def main():
   # variant is semantically exact but compiles poorly through this stack's
   # remote-compile relay.
   cfg.flow.logdet_unroll = int(os.environ.get("BENCH_LOGDET_UNROLL", 8))
+  # bf16 stop-gradient Neumann chain (estimator-only precision change).
+  cfg.flow.logdet_bf16 = bool(int(os.environ.get("BENCH_LOGDET_BF16", "1")))
 
   rng = jax.random.PRNGKey(0)
   module, variables = create_model(cfg, rng)

@@ -129,6 +129,8 @@ def get_default_configs(dataset: str = "CIFAR10") -> ml_collections.ConfigDict:
   # fixed unroll of this many VJP terms (compile-friendlier; tiny clipped-
   # tail bias). 0 = exact dynamic loop (reference semantics).
   flow.logdet_unroll = 0
+  # bf16 stop-gradient Neumann chain (estimator-only; gradients stay f32)
+  flow.logdet_bf16 = False
 
   config.seed = 42
   config.datadir = "."

@@ -25,6 +25,7 @@ import math
 from typing import Callable, List, Optional, Sequence
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -307,7 +308,8 @@ class IResBlock:
                n_exact_terms: int = 2, neumann_grad: bool = True,
                inverse_atol: float = 1e-5, inverse_rtol: float = 1e-5,
                inverse_max_iter: int = 1000,
-               unroll_terms: Optional[int] = None):
+               unroll_terms: Optional[int] = None,
+               chain_bf16: bool = False):
     self.nnet = nnet
     self.n_dist = n_dist
     self.lamb = lamb
@@ -325,6 +327,12 @@ class IResBlock:
     # length, a O((L^unroll)) truncation bias for Lipschitz constant L<=0.98).
     # Compiles to much simpler HLO — preferable inside scanned stacks.
     self.unroll_terms = unroll_terms
+    # chain_bf16: run the STOP-GRADIENT Neumann VJP chain in bfloat16
+    # (f32 accumulation of the series). The chain only shapes the Hutchinson
+    # estimator's vector u — bf16 there perturbs an already-stochastic
+    # estimate by O(2^-8) per term while doubling MXU throughput; the
+    # differentiable path (g, the final VJP, all gradients) stays f32.
+    self.chain_bf16 = chain_bf16
     self._rcdf = {}
     for offset in (n_exact_terms, 20):
       if n_dist == "poisson":
@@ -420,7 +428,17 @@ class IResBlock:
     if train and self.neumann_grad:
       # Neumann series under stop_gradient, then ONE differentiable VJP
       # (`iresblock.py:249-258`).
-      _, vjp_sg = jax.vjp(lambda xx: self._g(params_sg, xx, h_sg), x_sg)
+      if self.chain_bf16:
+        bf = jnp.bfloat16
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(bf) if a.dtype == jnp.float32 else a, t)
+        _, vjp_sg_raw = jax.vjp(
+            lambda xx: self._g(cast(params_sg), xx,
+                               None if h_sg is None else cast(h_sg)),
+            x_sg.astype(bf))
+        vjp_sg = lambda v: (vjp_sg_raw(v.astype(bf))[0].astype(jnp.float32),)
+      else:
+        _, vjp_sg = jax.vjp(lambda xx: self._g(params_sg, xx, h_sg), x_sg)
 
       if self.unroll_terms:
         # fixed unroll: same coefficients, n clipped to the unroll length
@@ -445,7 +463,11 @@ class IResBlock:
         _, _, acc = lax.while_loop(
             cond_fn, body,
             (jnp.asarray(1, jnp.int32), vareps, jnp.zeros_like(vareps)))
-      u = sg(vareps + acc)
+      # Mark the (stop-gradient) Neumann output as checkpoint-saveable: it is
+      # one block-input-sized tensor, and saving it lets the rematerialized
+      # backward of a scanned block skip re-running the whole VJP chain
+      # (which would double the per-term cost).
+      u = jax.ad_checkpoint.checkpoint_name(sg(vareps + acc), "neumann_u")
 
       g, vjp = jax.vjp(lambda xx: self._g(params, xx, h), x)
       (jtu,) = vjp(u)
@@ -572,7 +594,13 @@ class ScannedIResBlocks:
       return (xc, lp_out if has_logp else lp), None
 
     if self.remat:
-      body = jax.checkpoint(body)
+      # Save the per-block Neumann outputs (block-input-sized, tiny) so the
+      # backward recompute skips the stop-gradient VJP chain entirely;
+      # everything else (the 512-wide Lipschitz-net intermediates)
+      # rematerializes.
+      body = jax.checkpoint(
+          body,
+          policy=jax.checkpoint_policies.save_only_these_names("neumann_u"))
     (x, lp), _ = jax.lax.scan(body, (x, lp0), (params, keys))
     return x, (lp if has_logp else None)
 
@@ -600,7 +628,8 @@ def build_stacked_iresblocks(in_ch: int, idim: int, n_blocks: int,
                              cond_dim: Optional[int], preact: bool,
                              first_resblock: bool,
                              actnorm: bool = False,
-                             unroll_terms: Optional[int] = None
+                             unroll_terms: Optional[int] = None,
+                             chain_bf16: bool = False
                              ) -> SequentialFlow:
   """`StackediResBlocks` for resblock_type='resflow'
   (`resflow_.py:337-518`). Homogeneous runs of blocks are folded into a
@@ -618,7 +647,7 @@ def build_stacked_iresblocks(in_ch: int, idim: int, n_blocks: int,
                          preact=preact_flag,
                          domains=domains, codomains=codomains)
     return IResBlock(nnet, n_dist=n_dist, n_exact_terms=n_exact_terms,
-                     unroll_terms=unroll_terms)
+                     unroll_terms=unroll_terms, chain_bf16=chain_bf16)
 
   chain = []
   if actnorm:
@@ -727,7 +756,8 @@ class ResidualFlow:
                n_dist: str = "poisson", cond_dim: Optional[int] = None,
                preact: bool = True, first_resblock: bool = True,
                actnorm: bool = False, block_type: str = "resblock",
-               unroll_terms: Optional[int] = None):
+               unroll_terms: Optional[int] = None,
+               chain_bf16: bool = False):
     n_scale_max = 0
     hw = image_hw
     while hw >= 4:
@@ -747,7 +777,8 @@ class ResidualFlow:
             kernels=kernels, activation_fn=activation_fn,
             n_exact_terms=n_exact_terms, n_dist=n_dist, cond_dim=cond_dim,
             preact=preact, first_resblock=first_resblock and (i == 0),
-            actnorm=actnorm, unroll_terms=unroll_terms))
+            actnorm=actnorm, unroll_terms=unroll_terms,
+            chain_bf16=chain_bf16))
       elif block_type == "coupling":
         self.transforms.append(build_stacked_coupling_blocks(
             in_ch=c, idim=intermediate_dim, n_blocks=n_blocks[i],

@@ -78,6 +78,35 @@ def load_model(config, workdir, rng):
   return state, module, optimizer, checkpoint_dir, meta
 
 
+def load_vdm_aux(config, workdir, rng):
+  """VDM extra state (`utils.py:66-74`): gamma_minmax (2-vector, randn init)
+  + Noise_Schedule MLP, each with its own optimizer, checkpointed alongside
+  the score state (`utils.py:28-32,43-47`).
+
+  Note: as shipped, the reference never wires these into a loss
+  (`get_gamma_fn` has no call sites), so they ride through training
+  unchanged; we reproduce the state/checkpoint plumbing and expose
+  `models.vdm.get_gamma_fn` for experiments that do train them."""
+  from indm_tpu.models import vdm as vdm_lib
+
+  if config.model.name != "vdm":
+    return None
+  r1, r2 = jax.random.split(rng)
+  schedule = vdm_lib.NoiseSchedule()
+  params = {
+      "gamma": jax.random.normal(r1, (2,)),
+      "schedule": schedule.init(r2, jnp.zeros((1,)))["params"],
+  }
+  optimizer = state_lib.make_optimizer(config)
+  state = state_lib.init_train_state(config, params, {}, optimizer,
+                                     jax.random.fold_in(rng, 3))
+  meta = os.path.join(workdir, "checkpoints-meta",
+                      "vdm_aux_checkpoint.msgpack")
+  state = ckpt_lib.restore_checkpoint(config, meta, state)
+  return {"state": state, "module": schedule, "optimizer": optimizer,
+          "meta": meta}
+
+
 def load_flow_model(config, workdir, rng):
   """`utils.py:114-145`."""
   flow_model = create_flow_model(config)
@@ -162,6 +191,8 @@ def train(config, workdir, assetdir: Optional[str] = None):
   initial_step = int(score_state.step)
   logging.info("score model step: %d", initial_step)
 
+  vdm_aux = load_vdm_aux(config, workdir, jax.random.fold_in(rng, 7))
+
   if config.flow.model == "identity":
     flow_state = flow_model = flow_opt = None
     flow_meta = None
@@ -227,6 +258,9 @@ def train(config, workdir, assetdir: Optional[str] = None):
         ss, fs = state
         ckpt_lib.save_checkpoint(meta, jax.device_get(ss))
         ckpt_lib.save_checkpoint(flow_meta, jax.device_get(fs))
+      if vdm_aux is not None:  # `utils.py:28-32`
+        ckpt_lib.save_checkpoint(vdm_aux["meta"],
+                                 jax.device_get(vdm_aux["state"]))
 
     if (step != 0 and step != initial_step
         and step % config.training.snapshot_freq == 0) \

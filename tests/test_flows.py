@@ -191,3 +191,26 @@ def test_spectral_norm_conv_converge():
   v = params["v"]
   out = conv._conv(w, v)
   assert float(jnp.linalg.norm(out)) <= 0.9 * 1.05
+
+
+def test_bf16_chain_estimator_close_to_f32():
+  """chain_bf16 only perturbs the Hutchinson vector u — same single-draw
+  estimate to ~bf16 resolution, and still unbiased vs the exact logdet."""
+  nnet = rf.LipschitzNNet(in_ch=2, idim=8, kernels=(3, 1, 3), coeff=0.98,
+                          act="sin", preact=False)
+  b32 = rf.IResBlock(nnet, n_dist="poisson", n_exact_terms=2,
+                     unroll_terms=8)
+  b16 = rf.IResBlock(nnet, n_dist="poisson", n_exact_terms=2,
+                     unroll_terms=8, chain_bf16=True)
+  params = b32.init(jax.random.PRNGKey(0))
+  x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 2)) * 0.3
+  r = jax.random.PRNGKey(2)
+  _, ld32 = b32._logdetgrad(params, x, None, r, train=True)
+  _, ld16 = b16._logdetgrad(params, x, None, r, train=True)
+  np.testing.assert_allclose(np.asarray(ld16), np.asarray(ld32), atol=0.05,
+                             rtol=0.05)
+  # gradients still flow (differentiable path is f32)
+  g = jax.grad(lambda p: jnp.sum(
+      b16._logdetgrad(p, x, None, r, train=True)[1]))(params)
+  assert all(np.isfinite(np.asarray(l)).all()
+             for l in jax.tree_util.tree_leaves(g))

@@ -223,6 +223,35 @@ def flow_forward(config, flow_model: FlowModel, params, buffers, x,
   return z, logdet, new_buffers
 
 
+def get_lipschitz_constants(flow_model: FlowModel, params):
+  """Per-layer Lipschitz scales for monitoring
+  (`flow_models/resflow/utils.py:134-143`): the operator-norm bound of every
+  Lipschitz conv in the resflow generator, flattened in layer order.
+  Scanned stacks report the worst scale across their stacked blocks."""
+  if flow_model is None or flow_model.resflow is None:
+    return []
+  out = []
+
+  def nnet_scales(nnet, p):
+    return [c.lipschitz_scale(cp) for c, cp in zip(nnet.convs, p)
+            if hasattr(c, "lipschitz_scale")]
+
+  def walk(layer, p):
+    if hasattr(layer, "block"):     # ScannedIResBlocks (stacked params)
+      per_block = jax.vmap(
+          lambda q: jnp.stack(nnet_scales(layer.block.nnet, q["nnet"])))(p)
+      out.extend(jnp.max(per_block, axis=0))
+    elif hasattr(layer, "nnet"):    # single IResBlock
+      out.extend(nnet_scales(layer.nnet, p["nnet"]))
+    elif hasattr(layer, "layers"):  # SequentialFlow
+      for l, lp in zip(layer.layers, p):
+        walk(l, lp)
+
+  for t, tp in zip(flow_model.resflow.transforms, params["resflow"]):
+    walk(t, tp)
+  return [float(v) for v in out]
+
+
 def update_lipschitz(flow_model: FlowModel, params):
   """Post-step Lipschitz projection (`flow_models/resflow/utils.py:126-132`).
 

@@ -426,3 +426,137 @@ def get_linear(in_dim, out_dim, coeff, domain, codomain, **kwargs):
                      codomain=codomain)
   return InducedNormLinear(in_dim, out_dim, coeff=coeff, domain=domain,
                            codomain=codomain)
+
+
+class SpectralNormLinear:
+  """Spectral-norm dense layer (`lipschitz.py:27-99`): power iteration on
+  the weight matrix with explicit u/v state; train forward does 1 iteration
+  under stop_gradient, `converge` reprojects post-step."""
+
+  def __init__(self, in_dim, out_dim, coeff=0.97, n_iterations=None,
+               atol=1e-3, rtol=1e-3):
+    self.in_dim, self.out_dim = in_dim, out_dim
+    self.coeff = coeff
+    self.n_iterations = n_iterations
+    self.atol, self.rtol = atol, rtol
+
+  def init(self, rng):
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
+    w = _kaiming_uniform(r1, (self.in_dim, self.out_dim), self.in_dim)
+    b = _kaiming_uniform(r2, (self.out_dim,), self.in_dim)
+    u = jax.random.normal(r3, (self.out_dim,))
+    v = jax.random.normal(r4, (self.in_dim,))
+    return {"w": w, "b": b, "u": u / jnp.linalg.norm(u),
+            "v": v / jnp.linalg.norm(v)}
+
+  def _power_iter(self, w, u, v, n_iter):
+    # torch iterates v = normalize(W^T u), u = normalize(W v) on (out,in) W;
+    # our w is (in, out): v_in = normalize(w u_out), u_out = normalize(w^T v)
+    def body(i, carry):
+      u, v = carry
+      v = w @ u
+      v = v / (jnp.linalg.norm(v) + 1e-12)
+      u = w.T @ v
+      u = u / (jnp.linalg.norm(u) + 1e-12)
+      return u, v
+    return lax.fori_loop(0, n_iter, body, (u, v))
+
+  def normalized_weight(self, params, update: bool = False, n_iter: int = 1):
+    w, u, v = params["w"], params["u"], params["v"]
+    if update:
+      u, v = self._power_iter(lax.stop_gradient(w), u, v, n_iter)
+      u, v = lax.stop_gradient(u), lax.stop_gradient(v)
+    sigma = v @ w @ u
+    factor = jnp.maximum(1.0, sigma / self.coeff)
+    return w / factor, {"u": u, "v": v}
+
+  def apply(self, params, x, h=None, train: bool = False):
+    w, new_uv = self.normalized_weight(params, update=train)
+    return x @ w + params["b"], new_uv
+
+  def converge(self, params, n_iter: int = 200):
+    u, v = self._power_iter(params["w"], params["u"], params["v"], n_iter)
+    return {**params, "u": u, "v": v}
+
+
+class LipNormLinear:
+  """Hard-normalized dense layer with a LEARNED scale
+  (`lipschitz.py:371-412`): w_hat = w / ||w||_op * sigmoid(s) * coeff, s
+  initialized to logit(||w_init||_op / coeff)."""
+
+  def __init__(self, in_dim, out_dim, coeff=0.97, domain=float("inf"),
+               codomain=float("inf"), local_constraint=True):
+    self.in_dim, self.out_dim = in_dim, out_dim
+    self.coeff = coeff
+    self.local_constraint = local_constraint
+    self.max_across_input_dims, self.norm_type = operator_norm_settings(
+        domain, codomain)
+
+  def _scale(self, w):
+    axes = (1,) if self.max_across_input_dims else (0,)
+    s = _lop_scale(w, self.norm_type, axes=axes)
+    return jnp.max(s) if not self.local_constraint else s
+
+  def init(self, rng):
+    r1, r2 = jax.random.split(rng)
+    w = _kaiming_uniform(r1, (self.in_dim, self.out_dim), self.in_dim)
+    ratio = jnp.clip(self._scale(w) / self.coeff, 1e-6, 1 - 1e-6)
+    return {"w": w,
+            "b": _kaiming_uniform(r2, (self.out_dim,), self.in_dim),
+            "s": jnp.log(ratio / (1.0 - ratio))}  # logit
+
+  def normalized_weight(self, params):
+    w = params["w"]
+    scale = self._scale(w)
+    mult = jax.nn.sigmoid(params["s"]) * self.coeff / (scale + 1e-12)
+    if self.local_constraint and self.max_across_input_dims:
+      return w * mult[:, None]
+    if self.local_constraint:
+      return w * mult[None, :]
+    return w * mult
+
+  def apply(self, params, x, h=None):
+    return x @ self.normalized_weight(params) + params["b"]
+
+
+class LipNormConv2d:
+  """Conv variant of LipNorm (`lipschitz.py:415-463`), NHWC/HWIO."""
+
+  def __init__(self, in_ch, out_ch, kernel_size, coeff=0.97,
+               domain=float("inf"), codomain=float("inf"),
+               local_constraint=True):
+    self.in_ch, self.out_ch, self.k = in_ch, out_ch, kernel_size
+    self.coeff = coeff
+    self.local_constraint = local_constraint
+    self.max_across_input_dims, self.norm_type = operator_norm_settings(
+        domain, codomain)
+
+  def _scale(self, w):
+    axes = (0, 1, 3) if self.max_across_input_dims else (0, 1, 2)
+    s = _lop_scale(w, self.norm_type, axes=axes)
+    return jnp.max(s) if not self.local_constraint else s
+
+  def init(self, rng):
+    r1, r2 = jax.random.split(rng)
+    fan_in = self.in_ch * self.k * self.k
+    w = _kaiming_uniform(r1, (self.k, self.k, self.in_ch, self.out_ch),
+                         fan_in)
+    ratio = jnp.clip(self._scale(w) / self.coeff, 1e-6, 1 - 1e-6)
+    return {"w": w, "b": _kaiming_uniform(r2, (self.out_ch,), fan_in),
+            "s": jnp.log(ratio / (1.0 - ratio))}
+
+  def normalized_weight(self, params):
+    w = params["w"]
+    scale = self._scale(w)
+    mult = jax.nn.sigmoid(params["s"]) * self.coeff / (scale + 1e-12)
+    if not self.local_constraint:
+      return w * mult
+    shape = ((1, 1, self.in_ch, 1) if self.max_across_input_dims
+             else (1, 1, 1, self.out_ch))
+    return w * mult.reshape(shape)
+
+  def apply(self, params, x, h=None):
+    w = self.normalized_weight(params)
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + params["b"]

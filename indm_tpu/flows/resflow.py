@@ -136,6 +136,48 @@ class ActNorm2d:
     return x, logpy + ld
 
 
+class ActNorm1d(ActNorm2d):
+  """1-D actnorm over [batch, features] (`layers/act_norm.py:86-97`):
+  same affine, logdet has no H*W factor."""
+
+  def forward(self, params, x, logpx=None, h=None, rng=None, train=False):
+    y = (x + params["bias"]) * jnp.exp(params["log_scale"])
+    if logpx is None:
+      return y, None
+    return y, logpx - jnp.sum(params["log_scale"])
+
+  def inverse(self, params, y, logpy=None, h=None):
+    x = y * jnp.exp(-params["log_scale"]) - params["bias"]
+    if logpy is None:
+      return x, None
+    return x, logpy + jnp.sum(params["log_scale"])
+
+
+class InvertibleLinear:
+  """Glow-style invertible dense layer (`layers/glow.py:7-32`):
+  y = x @ W, logdet = log|det W| per sample."""
+
+  def __init__(self, dim: int):
+    self.dim = dim
+
+  def init(self, rng):
+    return {"w": jax.random.orthogonal(rng, self.dim)}
+
+  def forward(self, params, x, logpx=None, h=None, rng=None, train=False):
+    y = x @ params["w"]
+    if logpx is None:
+      return y, None
+    _, ld = jnp.linalg.slogdet(params["w"])
+    return y, logpx - ld
+
+  def inverse(self, params, y, logpy=None, h=None):
+    x = y @ jnp.linalg.inv(params["w"])
+    if logpy is None:
+      return x, None
+    _, ld = jnp.linalg.slogdet(params["w"])
+    return x, logpy + ld
+
+
 class MovingBatchNorm2d:
   """Invertible mean-shift normalization with a moving running mean
   (`layers/normalization.py:8-104`): y = x - mean + bias, logdet = 0 (pure

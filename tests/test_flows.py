@@ -214,3 +214,56 @@ def test_bf16_chain_estimator_close_to_f32():
       b16._logdetgrad(p, x, None, r, train=True)[1]))(params)
   assert all(np.isfinite(np.asarray(l)).all()
              for l in jax.tree_util.tree_leaves(g))
+
+
+def test_spectral_norm_linear_sigma_matches_svd():
+  sn = lip.SpectralNormLinear(6, 4, coeff=0.9)
+  params = sn.init(jax.random.PRNGKey(0))
+  params = {**params, "w": params["w"] * 3.0}
+  params = sn.converge(params, n_iter=300)
+  w_hat, _ = sn.normalized_weight(params)
+  sigma = float(jnp.linalg.svd(w_hat, compute_uv=False)[0])
+  assert sigma <= 0.9 + 1e-3, sigma
+
+
+def test_lipnorm_layers_respect_bound():
+  ln = lip.LipNormLinear(5, 7, coeff=0.8)
+  params = ln.init(jax.random.PRNGKey(0))
+  w_hat = ln.normalized_weight(params)
+  # w is (in, out): inf->inf operator norm of x @ w = max column 1-norm,
+  # hard-normalized to sigmoid(s)*coeff < coeff
+  col_norm = float(jnp.max(jnp.sum(jnp.abs(w_hat), axis=0)))
+  assert col_norm <= 0.8 + 1e-5
+  # when the init scale ratio is inside (0,1), sigmoid(logit(x)) = x and the
+  # normalized weight equals the raw weight
+  ratio = ln._scale(params["w"]) / 0.8
+  if float(jnp.max(ratio)) < 1.0:
+    np.testing.assert_allclose(np.asarray(w_hat), np.asarray(params["w"]),
+                               rtol=1e-4, atol=1e-6)
+
+  lc = lip.LipNormConv2d(3, 4, 3, coeff=0.8)
+  cparams = lc.init(jax.random.PRNGKey(1))
+  w_hat = lc.normalized_weight(cparams)
+  col_norm = float(jnp.max(jnp.sum(jnp.abs(w_hat), axis=(0, 1, 2))))
+  assert col_norm <= 0.8 + 1e-5
+  x = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 5, 3))
+  assert lc.apply(cparams, x).shape == (2, 5, 5, 4)
+
+
+def test_actnorm1d_and_invertible_linear_roundtrip():
+  an = rf.ActNorm1d(4)
+  ap = an.init(jax.random.PRNGKey(0))
+  ap = {"bias": jnp.ones((4,)) * 0.3, "log_scale": jnp.ones((4,)) * 0.2}
+  il = rf.InvertibleLinear(4)
+  ip = il.init(jax.random.PRNGKey(1))
+  x = jax.random.normal(jax.random.PRNGKey(2), (5, 4))
+  lp0 = jnp.zeros((5,))
+  y, lp = an.forward(ap, x, lp0)
+  y, lp = il.forward(ip, y, lp)
+  x2, lp2 = il.inverse(ip, y, lp)
+  x2, lp2 = an.inverse(ap, x2, lp2)
+  np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-5)
+  np.testing.assert_allclose(np.asarray(lp2), 0.0, atol=1e-5)
+  # actnorm logdet: -(sum log_scale) per sample, no spatial factor
+  _, lp_a = an.forward(ap, x, lp0)
+  np.testing.assert_allclose(np.asarray(lp_a), -0.8, atol=1e-5)

@@ -83,6 +83,43 @@ def main():
     step = joint_lib.make_joint_step_fn(cfg, sde, module, flow_model,
                                         score_opt, flow_opt, train=True)
     state = parallel.replicate((score_state, flow_state), mesh)
+  # BENCH_MODE=sampling: PC-sampler imgs/sec on the same geometry
+  # (BASELINE.md secondary metric) instead of train throughput.
+  if os.environ.get("BENCH_MODE") == "sampling":
+    from indm_tpu import data as data_lib
+    from indm_tpu import run_lib
+    from indm_tpu import sampling as sampling_lib
+    cfg.sampling.batch_size = batch_size
+    cfg.sampling.num_scales = int(os.environ.get("BENCH_SAMPLE_SCALES",
+                                                 cfg.model.num_scales))
+    inverse_scaler = data_lib.get_data_inverse_scaler(cfg)
+    shape = (batch_size, 32, 32, 3)
+    sampler = sampling_lib.get_sampling_fn(
+        cfg, sde, shape, inverse_scaler, cfg.sampling.truncation_time)
+    if flow_model is None:
+      flow_state = None
+    score_fn, _, flow_inverse = run_lib.make_eval_fns(
+        cfg, sde, score_state, flow_state, module, flow_model,
+        use_ema=False)
+    run = jax.jit(lambda r: sampler(r, score_fn, flow_inverse)[1])
+    out = run(jax.random.PRNGKey(0))          # compile + warmup
+    jax.block_until_ready(out)
+    t0 = time.time()
+    rounds = max(1, n_steps // 4)
+    for i in range(rounds):
+      out = run(jax.random.PRNGKey(1 + i))
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    imgs_per_sec = rounds * batch_size / dt / jax.device_count()
+    print(json.dumps({
+        "metric": "indm_vp_cifar10_pc_sampler_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 4),
+        "unit": f"imgs/s/chip (batch {batch_size}, "
+                f"{cfg.sampling.num_scales} scales)",
+        "vs_baseline": round(imgs_per_sec / 10.0, 4),  # ~10 imgs/s A100 est.
+    }))
+    return
+
   p_step = parallel.jit_train_step(step, mesh, donate_state=True)
   batch = np.random.default_rng(0).uniform(
       -1, 1, (batch_size, 32, 32, 3)).astype(np.float32)
@@ -101,6 +138,9 @@ def main():
   steps_per_sec = n_steps / dt
   n_chips = jax.device_count()
   value = steps_per_sec / n_chips
+  loss = float(np.asarray(metrics[0] if isinstance(metrics, (tuple, list))
+                          else metrics).mean())
+  print(f"# final loss mean: {loss:.5f}", file=sys.stderr)
   print(json.dumps({
       "metric": "indm_vp_cifar10_joint_train_steps_per_sec_per_chip",
       "value": round(value, 4),

@@ -142,6 +142,8 @@ def get_default_configs(dataset: str = "CIFAR10") -> ml_collections.ConfigDict:
   jax_cfg.dtype = "float32"          # compute dtype for the score network
   jax_cfg.data_axis = "data"         # mesh axis name for data parallelism
   jax_cfg.donate_state = True        # donate state buffers into train step
+  jax_cfg.profile_dir = ""           # capture a jax.profiler trace of steps
+  jax_cfg.profile_steps = (10, 15)   # [begin, end) when profile_dir is set
 
   return config
 

@@ -174,6 +174,10 @@ def get_bpd(config, eval_ds, scaler, nelbo_fn, nll_fn, score_fn,
   (residual), and truncation-time-specific NLL over the test set."""
   num_data = config.eval.num_test_data if eval else config.eval.batch_size
   batch_size = config.eval.batch_size
+  # cap at one epoch of the actual dataset (the reference's num_epochs=1
+  # tf.data split makes this implicit, `datasets.py:181-183`)
+  ds_size = len(getattr(eval_ds, "data", ())) or num_data
+  num_data = min(num_data, ds_size)
   n_batches = max((num_data - 1) // batch_size + 1, 1)
   np_rng = np.random.default_rng(step)
   rng = jax.random.PRNGKey(step)

@@ -231,7 +231,17 @@ def train(config, workdir, assetdir: Optional[str] = None):
     batch = scaler(batch)
     batch = parallel.shard_batch(batch, mesh)
 
+    # jax.profiler trace of a chosen step window (SURVEY.md §5.1 rebuild)
+    prof_dir = config.jax.get("profile_dir", "")
+    if prof_dir and step == config.jax.profile_steps[0]:
+      jax.profiler.start_trace(prof_dir)
+
     state, metrics = p_step(state, batch)
+
+    if prof_dir and step == config.jax.profile_steps[1] - 1:
+      jax.block_until_ready(metrics)
+      jax.profiler.stop_trace()
+      logging.info("profiler trace written to %s", prof_dir)
 
     if step % config.training.log_freq == 0:
       if config.flow.model == "identity":

@@ -57,6 +57,8 @@ def main():
   cfg.flow.logdet_unroll = int(os.environ.get("BENCH_LOGDET_UNROLL", 8))
   # bf16 stop-gradient Neumann chain (estimator-only precision change).
   cfg.flow.logdet_bf16 = bool(int(os.environ.get("BENCH_LOGDET_BF16", "1")))
+  # bf16 Lipschitz-net compute with f32 master params + normalization.
+  cfg.flow.mixed_precision = bool(int(os.environ.get("BENCH_FLOW_MP", "1")))
 
   rng = jax.random.PRNGKey(0)
   module, variables = create_model(cfg, rng)

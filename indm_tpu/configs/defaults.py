@@ -131,6 +131,9 @@ def get_default_configs(dataset: str = "CIFAR10") -> ml_collections.ConfigDict:
   flow.logdet_unroll = 0
   # bf16 stop-gradient Neumann chain (estimator-only; gradients stay f32)
   flow.logdet_bf16 = False
+  # bf16 compute in the Lipschitz nets (f32 master params + f32 weight
+  # normalization; convs at MXU bf16 rate)
+  flow.mixed_precision = False
 
   config.seed = 42
   config.datadir = "."

@@ -75,7 +75,8 @@ class FlowModel:
           n_dist="poisson", cond_dim=cond_dim, preact=True,
           first_resblock=True, actnorm=config.flow.actnorm,
           unroll_terms=config.flow.get("logdet_unroll", 0) or None,
-          chain_bf16=bool(config.flow.get("logdet_bf16", False)))
+          chain_bf16=bool(config.flow.get("logdet_bf16", False)),
+          mixed_precision=bool(config.flow.get("mixed_precision", False)))
     else:
       # glow / macow generators built from the wolf JSON
       # (`wolf generator.py:106-108`, Flow.by_name registry).

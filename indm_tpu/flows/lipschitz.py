@@ -119,16 +119,24 @@ class LopConv2d:
     factor = jnp.maximum(1.0, scale / self.coeff)
     return w / factor.reshape(bshape) if bshape else w / factor
 
-  def apply(self, params, x, h=None):
+  def apply(self, params, x, h=None, dtype=None):
     if self.cond_dim is not None:
       assert h is not None
-      hp = h @ params["h_w"] + params["h_b"]
+      h_w, h_b = params["h_w"], params["h_b"]
+      if dtype is not None:
+        h_w, h_b = h_w.astype(dtype), h_b.astype(dtype)
+      hp = h.astype(x.dtype) @ h_w + h_b
       x = x + hp[:, None, None, :]
+    # Lipschitz normalization in f32 on the master weight; optional cast of
+    # the normalized weight for bf16 MXU compute.
     w = self.normalized_weight(params)
+    b = params["b"]
+    if dtype is not None:
+      w, b = w.astype(dtype), b.astype(dtype)
     y = lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + params["b"]
+    return y + b
 
   def lipschitz_scale(self, params):
     axes = (0, 1, 3) if self.max_across_input_dims else (0, 1, 2)
@@ -387,11 +395,14 @@ class InducedNormConv2d:
     factor = jnp.maximum(1.0, sigma / self.coeff)
     return params["w"] / factor
 
-  def apply(self, params, x, h=None):
+  def apply(self, params, x, h=None, dtype=None):
     w = self.normalized_weight(params)
+    b = params["b"]
+    if dtype is not None:
+      w, b = w.astype(dtype), b.astype(dtype)
     y = lax.conv_general_dilated(
         x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + params["b"]
+    return y + b
 
   def converge(self, params, n_iter: int = 200):
     u, v = self._power_iter(lax.stop_gradient(params["w"]), params["u"],

@@ -275,13 +275,15 @@ class LipschitzNNet:
   def __init__(self, in_ch: int, idim: int, kernels=(3, 1, 3),
                coeff: float = 0.98, act: str = "sin",
                cond_dim: Optional[int] = None, preact: bool = False,
-               domains=None, codomains=None):
+               domains=None, codomains=None,
+               mixed_precision: bool = False):
     inf = float("inf")
     n = len(kernels)
     domains = [inf] * n if domains is None else domains
     codomains = [inf] * n if codomains is None else codomains
     self.act = ACT_FNS[act]
     self.preact = preact
+    self.mixed_precision = mixed_precision
     self.convs = []
     dims = [in_ch] + [idim] * (n - 1) + [in_ch]
     for i, k in enumerate(kernels):
@@ -294,13 +296,21 @@ class LipschitzNNet:
     return [c.init(k) for c, k in zip(self.convs, keys)]
 
   def apply(self, params, x, h=None):
+    dtype = jnp.bfloat16 if self.mixed_precision else None
+    if dtype is not None:
+      # bf16 compute with f32 master params: each conv normalizes its
+      # weight in f32 (exact Lipschitz bound) and runs the convolution in
+      # bf16 (MXU rate); the caller sees f32 out, so residual adds and
+      # log-det reductions stay f32.
+      x = x.astype(dtype)
     if self.preact:
       x = self.act(x)
     for i, (conv, p) in enumerate(zip(self.convs, params)):
-      x = conv.apply(p, x, h=h if conv.cond_dim is not None else None)
+      x = conv.apply(p, x, h=h if conv.cond_dim is not None else None,
+                     dtype=dtype)
       if i < len(self.convs) - 1:
         x = self.act(x)
-    return x
+    return x.astype(jnp.float32) if dtype is not None else x
 
   def converge(self, params, n_iter: int = 200):
     """Converged power-iteration projection for stateful layers
@@ -474,11 +484,16 @@ class IResBlock:
         bf = jnp.bfloat16
         cast = lambda t: jax.tree_util.tree_map(
             lambda a: a.astype(bf) if a.dtype == jnp.float32 else a, t)
-        _, vjp_sg_raw = jax.vjp(
+        g_out, vjp_sg_raw = jax.vjp(
             lambda xx: self._g(cast(params_sg), xx,
                                None if h_sg is None else cast(h_sg)),
             x_sg.astype(bf))
-        vjp_sg = lambda v: (vjp_sg_raw(v.astype(bf))[0].astype(jnp.float32),)
+        # cotangent must match the primal OUTPUT dtype (f32 when the nnet
+        # casts back, bf16 otherwise); the input cotangent comes back in
+        # the input dtype (bf16) and is accumulated in f32.
+        out_dt = g_out.dtype
+        vjp_sg = lambda v: (
+            vjp_sg_raw(v.astype(out_dt))[0].astype(jnp.float32),)
       else:
         _, vjp_sg = jax.vjp(lambda xx: self._g(params_sg, xx, h_sg), x_sg)
 
@@ -671,7 +686,8 @@ def build_stacked_iresblocks(in_ch: int, idim: int, n_blocks: int,
                              first_resblock: bool,
                              actnorm: bool = False,
                              unroll_terms: Optional[int] = None,
-                             chain_bf16: bool = False
+                             chain_bf16: bool = False,
+                             mixed_precision: bool = False
                              ) -> SequentialFlow:
   """`StackediResBlocks` for resblock_type='resflow'
   (`resflow_.py:337-518`). Homogeneous runs of blocks are folded into a
@@ -687,7 +703,8 @@ def build_stacked_iresblocks(in_ch: int, idim: int, n_blocks: int,
     nnet = LipschitzNNet(in_ch, idim, kernels=tuple(ks), coeff=coeff,
                          act=activation_fn, cond_dim=cond_dim,
                          preact=preact_flag,
-                         domains=domains, codomains=codomains)
+                         domains=domains, codomains=codomains,
+                         mixed_precision=mixed_precision)
     return IResBlock(nnet, n_dist=n_dist, n_exact_terms=n_exact_terms,
                      unroll_terms=unroll_terms, chain_bf16=chain_bf16)
 
@@ -799,7 +816,8 @@ class ResidualFlow:
                preact: bool = True, first_resblock: bool = True,
                actnorm: bool = False, block_type: str = "resblock",
                unroll_terms: Optional[int] = None,
-               chain_bf16: bool = False):
+               chain_bf16: bool = False,
+               mixed_precision: bool = False):
     n_scale_max = 0
     hw = image_hw
     while hw >= 4:
@@ -820,7 +838,7 @@ class ResidualFlow:
             n_exact_terms=n_exact_terms, n_dist=n_dist, cond_dim=cond_dim,
             preact=preact, first_resblock=first_resblock and (i == 0),
             actnorm=actnorm, unroll_terms=unroll_terms,
-            chain_bf16=chain_bf16))
+            chain_bf16=chain_bf16, mixed_precision=mixed_precision))
       elif block_type == "coupling":
         self.transforms.append(build_stacked_coupling_blocks(
             in_ch=c, idim=intermediate_dim, n_blocks=n_blocks[i],

@@ -37,6 +37,19 @@ from indm_tpu.models import create_model, get_score_fn
 # ---------------------------------------------------------------------------
 
 
+def create_name(prefix: str, name, ext: str) -> str:
+  """Checkpoint file naming helper (`utils.py:50-59`): numbers, bare names,
+  and paths all normalize to `{prefix}_{stem}.{ext}`."""
+  try:
+    return f"{prefix}_{int(name)}.{ext}"
+  except (TypeError, ValueError):
+    name = str(name)
+    if "." not in name:
+      return f"{prefix}_{name}.{ext}"
+    stem = name.split("/")[-1].split(".")[0]
+    return f"{prefix}_{stem}.{ext}"
+
+
 def load_model(config, workdir, rng):
   """Build the score model state; auto-resume from the meta checkpoint.
   Mirrors `utils.py:61-112` (minus DataParallel)."""

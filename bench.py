@@ -44,7 +44,7 @@ def main():
   batch_size = int(os.environ.get("BENCH_BATCH", 128))
   n_steps = int(os.environ.get("BENCH_STEPS", 10))
 
-  cfg = get_config("vp/CIFAR10/indm_nll")
+  cfg = get_config(os.environ.get("BENCH_CONFIG", "vp/CIFAR10/indm_nll"))
   cfg.training.batch_size = batch_size
   # BENCH_FLOW=identity benches the score-only step (flow cost ablation).
   if os.environ.get("BENCH_FLOW"):

@@ -131,10 +131,30 @@ def compute_fid_and_is(config, sample_dir, assetdir=None,
   is_score = inception_score(logits_all)
   report = {"fid": fid, "inception_score": is_score,
             "num_samples": len(pools)}
-  logging.info("FID: %.4f, IS: %.4f (N=%d, stats=%s)", fid, is_score,
-               len(pools), stats_src)
+  # KID needs RAW real features (`evaluation.py:322-333` uses the stats
+  # file's pool_3 activations); available when the score_sde-style stats
+  # npz carries them.
+  real_feats = _raw_real_features(config, assetdir)
+  if real_feats is not None:
+    report["kid"] = kernel_distance(pools, real_feats)
+  logging.info("FID: %.4f, IS: %.4f, KID: %s (N=%d, stats=%s)", fid,
+               is_score, report.get("kid", "n/a"), len(pools), stats_src)
   np.savez_compressed(os.path.join(sample_dir, "report_all.npz"), **report)
   return report
+
+
+def _raw_real_features(config, assetdir):
+  """Raw real pool_3 activations when the stats file provides them
+  (score_sde-style `assets/stats/*_stats.npz`)."""
+  name = config.data.dataset.lower()
+  for base in filter(None, [assetdir]):
+    for path in (os.path.join(base, f"{name}_stats.npz"),
+                 os.path.join(base, "stats", f"{name}_stats.npz")):
+      if os.path.exists(path):
+        with np.load(path) as z:
+          if "pool_3" in z:
+            return z["pool_3"]
+  return None
 
 
 def fid_folder(config, folder: str, assetdir=None, params=None,

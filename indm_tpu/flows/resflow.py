@@ -178,6 +178,22 @@ class InvertibleLinear:
     return x, logpy + ld
 
 
+class Inverse:
+  """Orientation-swapping wrapper (`layers/container.py:33-43`)."""
+
+  def __init__(self, flow):
+    self.flow = flow
+
+  def init(self, rng):
+    return self.flow.init(rng)
+
+  def forward(self, params, x, logpx=None, h=None, rng=None, train=False):
+    return self.flow.inverse(params, x, logpx, h=h)
+
+  def inverse(self, params, y, logpy=None, h=None, rng=None, train=False):
+    return self.flow.forward(params, y, logpy, h=h, rng=rng, train=train)
+
+
 class MovingBatchNorm2d:
   """Invertible mean-shift normalization with a moving running mean
   (`layers/normalization.py:8-104`): y = x - mean + bias, logdet = 0 (pure

@@ -91,6 +91,29 @@ class UniformDeQuantizer:
     return u, jnp.zeros((x.shape[0], nsamples))
 
 
+def preprocess(img, n_bits: int = 8, noise=None):
+  """n-bit quantization + [-1,1] normalization
+  (`flow_models/wolf/data/image.py:153-166`). `img` in [0,1];
+  `noise` (optional, [batch, nsamples, ...]) is added to the integer
+  codes for variational dequantization."""
+  n_bins = 2.0 ** n_bits
+  img = img * 255.0
+  if n_bits < 8:
+    img = jnp.floor(img / (256.0 / n_bins))
+  if noise is not None:
+    img = img[:, None] + noise
+  return (img / n_bins - 0.5) / 0.5
+
+
+def postprocess(img, n_bits: int = 8):
+  """Inverse of `preprocess` back to [0,1]
+  (`flow_models/wolf/data/image.py:169-177`)."""
+  n_bins = 2.0 ** n_bits
+  img = img * 0.5 + 0.5
+  img = jnp.floor(img * n_bins) * (256.0 / n_bins)
+  return jnp.clip(img, 0.0, 255.0) / 255.0
+
+
 def inverse_sqrt_schedule(base_lr: float, warmup_steps: int,
                           init_lr: float = 0.0):
   """`optim/lr_scheduler.py:51-82` as an optax-compatible schedule."""

@@ -293,6 +293,21 @@ def feature_extractor(params=None, batch_size: int = 64, mesh=None):
           train=False),
       in_shardings=parallel.batch_sharding(mesh))
 
+  def run_with_retry(chunk):
+    # Transient compile-service failures (this stack routes compiles
+    # through a relay that can drop large programs) are retried —
+    # the §5.3 self-healing ethos applied to eval infrastructure.
+    for attempt in range(3):
+      try:
+        return run(jax.device_put(chunk, parallel.batch_sharding(mesh)))
+      except jax.errors.JaxRuntimeError as e:  # pragma: no cover
+        if "remote_compile" not in str(e) or attempt == 2:
+          raise
+        import time
+        logging.warning("inception compile failed transiently (%s); "
+                        "retrying (%d/3)", e, attempt + 2)
+        time.sleep(5.0 * (attempt + 1))
+
   def extract(images: np.ndarray):
     pools, logits = [], []
     for i in range(0, len(images), batch_size):
@@ -302,8 +317,7 @@ def feature_extractor(params=None, batch_size: int = 64, mesh=None):
         chunk = np.concatenate(
             [chunk, np.zeros((batch_size - n,) + chunk.shape[1:],
                              np.float32)])
-      p, l = run(jax.device_put(chunk,
-                                parallel.batch_sharding(mesh)))
+      p, l = run_with_retry(chunk)
       pools.append(np.asarray(p)[:n])
       logits.append(np.asarray(l)[:n])
     return np.concatenate(pools), np.concatenate(logits)

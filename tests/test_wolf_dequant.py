@@ -164,3 +164,23 @@ def test_moving_batchnorm_1d():
   x = jax.random.normal(jax.random.PRNGKey(1), (16, 5)) + 3
   y, _ = bn.forward(params, x, None, train=True)
   np.testing.assert_allclose(np.asarray(y).mean(axis=0), 0.0, atol=1e-5)
+
+
+def test_nbits_preprocess_postprocess_roundtrip():
+  from indm_tpu.flows import wolf_extras as we
+  x = jnp.asarray(np.random.default_rng(0).random((4, 8, 8, 3)),
+                  jnp.float32)
+  for n_bits in (8, 5):
+    z = we.preprocess(x, n_bits)
+    assert float(z.min()) >= -1.0 and float(z.max()) <= 1.0
+    back = we.postprocess(z, n_bits)
+    # quantization error bounded by one bin of 2^n_bits levels
+    assert float(jnp.abs(back - x).max()) <= 256.0 / 2 ** n_bits / 255.0 + 1e-5
+
+
+def test_nbits_preprocess_noise_shape():
+  from indm_tpu.flows import wolf_extras as we
+  x = jnp.zeros((2, 4, 4, 3))
+  noise = jnp.zeros((2, 3, 4, 4, 3))
+  z = we.preprocess(x, 8, noise=noise)
+  assert z.shape == (2, 3, 4, 4, 3)

@@ -69,6 +69,59 @@ def _lop_scale(w: jnp.ndarray, norm_type, axes):
   raise ValueError(norm_type)
 
 
+def _conv3x3_narrow_out(x, w):
+  """SAME 3x3 conv with few OUTPUT channels, written as ONE dot over the
+  wide channel dim followed by 9 shift-adds on the narrow result.
+
+  XLA-TPU's direct conv for (wide -> narrow) shapes reads the wide input
+  with a layout-transposing access pattern (measured ~32 GiB/s on v5e —
+  HBM-bound at 4% of peak); the dot reads it once, contiguously, on the
+  MXU. The VJP is the transposed pattern (dot + slice-adds), which is the
+  same fix applied to the narrow->wide direction."""
+  b, hh, ww, cin = x.shape
+  kh, kw, _, cout = w.shape
+  wr = w.transpose(2, 0, 1, 3).reshape(cin, kh * kw * cout)
+  z = (x.reshape(-1, cin) @ wr).reshape(b, hh, ww, kh, kw, cout)
+  zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
+  y = zp[:, 0:hh, 0:ww, 0, 0]
+  for dy in range(kh):
+    for dx in range(kw):
+      if dy == 0 and dx == 0:
+        continue
+      y = y + zp[:, dy:dy + hh, dx:dx + ww, dy, dx]
+  return y
+
+
+def _conv3x3_narrow_in(x, w):
+  """SAME 3x3 conv with few INPUT channels: gather the 9 shifted views of
+  the cheap narrow tensor, then ONE dot into the wide output."""
+  b, hh, ww, cin = x.shape
+  kh, kw, _, cout = w.shape
+  xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+  patches = jnp.concatenate(
+      [xp[:, dy:dy + hh, dx:dx + ww] for dy in range(kh)
+       for dx in range(kw)], axis=-1)
+  wr = w.reshape(kh * kw * cin, cout)
+  return (patches.reshape(-1, kh * kw * cin) @ wr).reshape(b, hh, ww, cout)
+
+
+# dispatch threshold: a channel dim this small forces XLA's conv emitter
+# into a layout-thrashing access of the wide side.
+_NARROW_CH = 17
+
+
+def lipschitz_conv_apply(x, w, k):
+  """SAME conv dispatch: dot-based paths for narrow-boundary 3x3 convs,
+  plain XLA conv otherwise."""
+  if k == 3 and w.shape[3] < _NARROW_CH <= w.shape[2]:
+    return _conv3x3_narrow_out(x, w)
+  if k == 3 and w.shape[2] < _NARROW_CH <= w.shape[3]:
+    return _conv3x3_narrow_in(x, w)
+  return lax.conv_general_dilated(
+      x, w, window_strides=(1, 1), padding="SAME",
+      dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class LopConv2d:
   """Operator-norm-bounded conv (`lipschitz.py:320-368`), NHWC/HWIO.
 
@@ -133,10 +186,7 @@ class LopConv2d:
     b = params["b"]
     if dtype is not None:
       w, b = w.astype(dtype), b.astype(dtype)
-    y = lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + b
+    return lipschitz_conv_apply(x, w, self.k) + b
 
   def lipschitz_scale(self, params):
     axes = (0, 1, 3) if self.max_across_input_dims else (0, 1, 2)

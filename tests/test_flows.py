@@ -267,3 +267,33 @@ def test_actnorm1d_and_invertible_linear_roundtrip():
   # actnorm logdet: -(sum log_scale) per sample, no spatial factor
   _, lp_a = an.forward(ap, x, lp0)
   np.testing.assert_allclose(np.asarray(lp_a), -0.8, atol=1e-5)
+
+
+@pytest.mark.parametrize("cin,cout", [(64, 3), (3, 64), (2, 128), (128, 2)])
+def test_conv3x3_dot_paths_match_xla_conv(cin, cout):
+  """The narrow-boundary dot formulations must match the direct conv
+  exactly (values and gradients) — they replace it on TPU for layout
+  reasons."""
+  x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, cin))
+  w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout)) * 0.1
+
+  ref = jax.lax.conv_general_dilated(
+      x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+  out = lip.lipschitz_conv_apply(x, w, 3)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+  # gradients through both paths agree
+  g_ref = jax.grad(lambda w_: jnp.sum(jax.lax.conv_general_dilated(
+      x, w_, (1, 1), "SAME",
+      dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2))(w)
+  g_out = jax.grad(
+      lambda w_: jnp.sum(lip.lipschitz_conv_apply(x, w_, 3) ** 2))(w)
+  np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                             atol=2e-4, rtol=1e-4)
+  gx_ref = jax.grad(lambda x_: jnp.sum(jax.lax.conv_general_dilated(
+      x_, w, (1, 1), "SAME",
+      dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2))(x)
+  gx_out = jax.grad(
+      lambda x_: jnp.sum(lip.lipschitz_conv_apply(x_, w, 3) ** 2))(x)
+  np.testing.assert_allclose(np.asarray(gx_out), np.asarray(gx_ref),
+                             atol=2e-4, rtol=1e-4)

@@ -100,10 +100,10 @@ def main():
         cfg, sde, shape, inverse_scaler, cfg.sampling.truncation_time)
     if flow_model is None:
       flow_state = None
-    score_fn, _, flow_inverse = run_lib.make_eval_fns(
-        cfg, sde, score_state, flow_state, module, flow_model,
+    sample_round = run_lib.make_jit_sample_round(
+        cfg, sde, module, flow_model, sampler, score_state, flow_state,
         use_ema=False)
-    run = jax.jit(lambda r: sampler(r, score_fn, flow_inverse)[1])
+    run = lambda r: sample_round(r)[1]
     out = run(jax.random.PRNGKey(0))          # compile + warmup
     jax.block_until_ready(out)
     t0 = time.time()

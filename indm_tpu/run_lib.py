@@ -342,6 +342,33 @@ def _in_training_bpd(config, sde, state, score_module, flow_model, eval_ds,
                float(jnp.mean(nelbo)), float(jnp.mean(nelbo_res)))
 
 
+def make_jit_sample_round(config, sde, score_module, flow_model,
+                          sampling_fn, score_state, flow_state,
+                          use_ema: bool = True):
+  """One jitted sampling round with the model states as ARGUMENTS.
+
+  Closing the sampler over the weights would bake them into the program as
+  constants (~600 MB of inline MLIR for the flagship model) — too large
+  for a compile service and recompiled after every state update. Passing
+  the states through jit keeps the program small and cacheable."""
+
+  def run(rng, ss, fs, temperature, data_mean, before_data):
+    score_fn, _, flow_inverse = make_eval_fns(
+        config, sde, ss, fs, score_module, flow_model, use_ema=use_ema)
+    return sampling_fn(rng, score_fn, flow_inverse,
+                       temperature=temperature, data_mean=data_mean,
+                       before_data=before_data)
+
+  jrun = jax.jit(run)
+
+  def sample_round(rng, temperature=1.0, data_mean=None, before_data=None):
+    return jrun(rng, score_state, flow_state,
+                jnp.asarray(temperature, jnp.float32), data_mean,
+                before_data)
+
+  return sample_round
+
+
 def _snapshot_sampling(config, sde, state, score_module, flow_model,
                        sampling_fn, inverse_scaler, sample_dir, step):
   """Generate + save a snapshot grid (`run_lib.py:125-142`; full FID eval
@@ -351,13 +378,16 @@ def _snapshot_sampling(config, sde, state, score_module, flow_model,
     score_state, flow_state = state, None
   else:
     score_state, flow_state = state
-  score_fn, _, flow_inverse = make_eval_fns(
+  _, _, flow_inverse = make_eval_fns(
       config, sde, score_state, flow_state, score_module, flow_model,
       use_ema=True)
+  sample_round = make_jit_sample_round(config, sde, score_module, flow_model,
+                                       sampling_fn, score_state, flow_state,
+                                       use_ema=True)
   this_dir = os.path.join(sample_dir, f"iter_{step}")
   os.makedirs(this_dir, exist_ok=True)
   rng = jax.random.PRNGKey(step + 1)
-  sampling_io.get_samples(config, score_fn, flow_inverse, sampling_fn,
+  sampling_io.get_samples(config, flow_inverse, sample_round,
                           step, 0, this_dir, rng=rng,
                           temperature=config.sampling.temperature)
 
@@ -410,11 +440,14 @@ def evaluate(config, workdir, assetdir: Optional[str] = None,
     logging.info("sampling start ...")
     num_rounds = (config.eval.num_samples - 1) \
         // config.sampling.batch_size + 1
+    sample_round = make_jit_sample_round(
+        config, sde, score_module, flow_model, sampling_fn, score_state,
+        flow_state, use_ema=config.eval.score_ema)
     for r in range(num_rounds):
       idx = (np.random.randint(0, 10000000) if config.sampling.idx_rand
              else r)
       sampling_io.get_samples(
-          config, score_fn, flow_inverse, sampling_fn, step, idx, eval_dir,
+          config, flow_inverse, sample_round, step, idx, eval_dir,
           rng=jax.random.PRNGKey(config.seed + 1000 + r),
           temperature=config.sampling.temperature, data_mean=data_mean)
     logging.info("sampling end ... computing FID ...")

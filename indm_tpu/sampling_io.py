@@ -59,11 +59,15 @@ def sample_paths(config, sample_dir, r):
   }
 
 
-def get_samples(config, score_fn, flow_inverse, sampling_fn, step, r,
+def get_samples(config, flow_inverse, sample_round, step, r,
                 sample_dir, rng=None, temperature: float = 1.0,
                 data_mean=None, before_data=None):
   """Run one sampling round and cache npz + PNG; skip when cached
-  (`sampling_lib.py:31-76`). Returns the after-flow uint8 samples."""
+  (`sampling_lib.py:31-76`). Returns the after-flow uint8 samples.
+
+  `sample_round(rng, temperature, data_mean, before_data)` is the jitted
+  sampler (see run_lib.make_jit_sample_round); `flow_inverse` is kept for
+  the cached before-flow re-application path."""
   os.makedirs(sample_dir, exist_ok=True)
   paths = sample_paths(config, sample_dir, r)
   if os.path.exists(paths["after"]):
@@ -81,9 +85,9 @@ def get_samples(config, score_fn, flow_inverse, sampling_fn, step, r,
 
   if rng is None:
     rng = jax.random.PRNGKey(int(step) * 1000 + int(r) % 1000)
-  before, after, search, nfe = sampling_fn(
-      rng, score_fn, flow_inverse, temperature=temperature,
-      data_mean=data_mean, before_data=before_data)
+  before, after, search, nfe = sample_round(
+      rng, temperature=temperature, data_mean=data_mean,
+      before_data=before_data)
   logging.info("sampling round %s done (nfe=%s)", r, int(nfe))
 
   before_u8 = _to_uint8(before)

@@ -106,18 +106,26 @@ def main():
     run = lambda r: sample_round(r)[1]
     out = run(jax.random.PRNGKey(0))          # compile + warmup
     jax.block_until_ready(out)
-    t0 = time.time()
-    rounds = max(1, n_steps // 4)
+    # median of per-round wall times: this runtime's first wait after a
+    # prior block can return spuriously fast, poisoning short averages
+    rounds = max(3, n_steps // 4)
+    times = []
     for i in range(rounds):
+      t0 = time.time()
       out = run(jax.random.PRNGKey(1 + i))
-    jax.block_until_ready(out)
-    dt = time.time() - t0
-    imgs_per_sec = rounds * batch_size / dt / jax.device_count()
+      jax.block_until_ready(out)
+      times.append(time.time() - t0)
+    dt = sorted(times)[len(times) // 2]
+    imgs_per_sec = batch_size / dt / jax.device_count()
+    method = cfg.sampling.method
+    unit = (f"imgs/s/chip (batch {batch_size}, "
+            f"{cfg.sampling.num_scales} scales)" if method == "pc"
+            else f"imgs/s/chip (batch {batch_size}, adaptive RK45)")
     print(json.dumps({
-        "metric": "indm_vp_cifar10_pc_sampler_imgs_per_sec_per_chip",
+        "metric": f"indm_{cfg.training.sde[:2]}_cifar10_{method}_sampler"
+                  "_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec, 4),
-        "unit": f"imgs/s/chip (batch {batch_size}, "
-                f"{cfg.sampling.num_scales} scales)",
+        "unit": unit,
         "vs_baseline": round(imgs_per_sec / 10.0, 4),  # ~10 imgs/s A100 est.
     }))
     return

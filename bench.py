@@ -113,8 +113,14 @@ def main():
     for i in range(rounds):
       t0 = time.time()
       out = run(jax.random.PRNGKey(1 + i))
-      jax.block_until_ready(out)
+      # force a HOST READBACK: on this relay runtime block_until_ready
+      # returns before the program actually executes; only a transfer
+      # truly synchronizes
+      float(np.asarray(out[0, 0, 0, 0]))
       times.append(time.time() - t0)
+    if os.environ.get("BENCH_DEBUG"):
+      print("# round times:", [round(t, 4) for t in times], file=sys.stderr)
+      print("# out std:", float(np.asarray(out).std()), file=sys.stderr)
     dt = sorted(times)[len(times) // 2]
     imgs_per_sec = batch_size / dt / jax.device_count()
     method = cfg.sampling.method
@@ -142,15 +148,17 @@ def main():
   t0 = time.time()
   for _ in range(n_steps):
     state, metrics = p_step(state, batch)
-  jax.block_until_ready(metrics)
+  # host readback, not just block_until_ready: on this relay runtime only
+  # a transfer truly synchronizes. Steps chain through `state`, so reading
+  # the final loss waits for all n_steps.
+  final_loss = float(np.asarray(
+      metrics[0] if isinstance(metrics, (tuple, list)) else metrics).mean())
   dt = time.time() - t0
 
   steps_per_sec = n_steps / dt
   n_chips = jax.device_count()
   value = steps_per_sec / n_chips
-  loss = float(np.asarray(metrics[0] if isinstance(metrics, (tuple, list))
-                          else metrics).mean())
-  print(f"# final loss mean: {loss:.5f}", file=sys.stderr)
+  print(f"# final loss mean: {final_loss:.5f}", file=sys.stderr)
   print(json.dumps({
       "metric": "indm_vp_cifar10_joint_train_steps_per_sec_per_chip",
       "value": round(value, 4),

@@ -229,10 +229,87 @@ def _relu_transform(params, zp, reverse, alpha):
   return out, jnp.sum(ld_el.reshape(zp.shape[0], -1), axis=-1)
 
 
+_NLSQ_LOG_A = math.log(8 * math.sqrt(3) / 9 - 0.05)
+
+
+def _nlsq(params, zp, reverse, alpha):
+  """Non-linear squared transform (`transform.py:123-201`):
+  y = a + b z + c / (1 + (d z + g)^2), monotone for |c| < A b / d.
+
+  The inverse solves the cubic analytically via the hyperbolic method
+  (the reference upcasts to float64 'for stability'; under JAX's default
+  x64-disabled mode this runs in f32 — round-trips are good to ~1e-3)."""
+  a, logb, cprime, logd, g = jnp.split(params, 5, axis=-1)
+  logb = logb * 0.4
+  cprime = cprime * 0.3
+  logd = logd * 0.4
+  c = jnp.exp(_NLSQ_LOG_A + logb - logd) * jnp.tanh(cprime)
+  b = jnp.exp(logb)
+  d = jnp.exp(logd)
+
+  def bsum(t):
+    return jnp.sum(t.reshape(zp.shape[0], -1), axis=-1)
+
+  if not reverse:
+    arg = d * zp + g
+    denom = arg ** 2 + 1.0
+    cd = c / denom
+    out = b * zp + a + cd
+    ld = bsum(jnp.log(b - 2.0 * cd * d * arg / denom))
+    return out, ld
+
+  # cubic in x: -b d^2 x^3 + [(z-a)d^2 - 2bdg] x^2 +
+  #             [(z-a)2dg - b(1+g^2)] x + [(z-a)(1+g^2) - c] = 0
+  z = zp
+  aa = -b * d ** 2
+  bb = (z - a) * d ** 2 - 2.0 * b * d * g
+  cc = (z - a) * 2.0 * d * g - b * (1.0 + g ** 2)
+  dd = (z - a) * (1.0 + g ** 2) - c
+
+  p = (3.0 * aa * cc - bb ** 2) / (3.0 * aa ** 2)
+  q = (2.0 * bb ** 3 - 9.0 * aa * bb * cc + 27.0 * aa ** 2 * dd) \
+      / (27.0 * aa ** 3)
+  absp = jnp.abs(p) + 1e-12
+  t_neg = (-2.0 * jnp.sign(q) * jnp.sqrt(absp / 3.0)
+           * jnp.cosh(jnp.arccosh(
+               jnp.abs(-3.0 * jnp.abs(q) / (2.0 * p)
+                       * jnp.sqrt(3.0 / absp) - 1.0) + 1.0) / 3.0))
+  t_pos = (-2.0 * jnp.sqrt(absp / 3.0)
+           * jnp.sinh(jnp.arcsinh(
+               3.0 * q / (2.0 * p) * jnp.sqrt(3.0 / absp)) / 3.0))
+  t = jnp.where(p > 0, t_pos, t_neg)
+  x = t - bb / (3.0 * aa)
+  arg = d * x + g
+  denom = arg ** 2 + 1.0
+  ld = -bsum(jnp.log(b - 2.0 * c / denom * d * arg / denom))
+  return x, ld
+
+
+def _symm_elu(params, zp, reverse, alpha):
+  """Symmetric-ELU shift (`transform.py:204-234`):
+  y = z - sign(z)*s*(e^{-|z|}-1) + mu, s = tanh(log_scale/2)."""
+  mu, log_scale = jnp.split(params, 2, axis=-1)
+  scale = jnp.tanh(log_scale * 0.5)
+
+  def bsum(t):
+    return jnp.sum(t.reshape(zp.shape[0], -1), axis=-1)
+
+  if not reverse:
+    tmp = jnp.exp(-jnp.abs(zp))
+    out = zp - jnp.sign(zp) * scale * (tmp - 1.0) + mu
+    return out, bsum(jnp.log(scale * tmp + 1.0))
+  # the reference's backward applies the mirrored form (approximate
+  # inverse; exact for scale -> 0) and reports no log-det
+  out = -jnp.sign(zp) * scale * (jnp.exp(-jnp.abs(zp)) - 1.0) + mu
+  return out, jnp.zeros((zp.shape[0],))
+
+
 _TRANSFORMS = {
     "affine": (_affine, 2),
     "additive": (_additive, 1),
     "relu": (_relu_transform, 2),
+    "nlsq": (_nlsq, 5),
+    "symm_elu": (_symm_elu, 2),
 }
 
 

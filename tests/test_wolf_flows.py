@@ -85,3 +85,44 @@ def test_all_22_wolf_presets_resolve():
         assert "generator" in params and "discriminator" in params
         count += 1
   assert count == 22
+
+
+def test_nlsq_transform_roundtrip_and_logdet():
+  from indm_tpu.flows.wolf_glow import _nlsq
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  rng = jax.random.PRNGKey(0)
+  zp = jax.random.normal(rng, (4, 6)) * 0.8
+  params = jax.random.normal(jax.random.PRNGKey(1), (4, 30)) * 0.3
+  y, ld = _nlsq(params, zp, False, 1.0)
+  z2, ld_inv = _nlsq(params, y, True, 1.0)
+  np.testing.assert_allclose(np.asarray(z2), np.asarray(zp), atol=2e-3)
+  np.testing.assert_allclose(np.asarray(ld), -np.asarray(ld_inv), atol=2e-2,
+                             rtol=1e-3)
+  # logdet vs autodiff of the forward map
+  dfdz = jax.vmap(jax.vmap(jax.grad(
+      lambda v, p: _nlsq(p[None], v[None, None].repeat(6, 1), False,
+                         1.0)[0][0, 0], argnums=0)))(
+      zp, jnp.broadcast_to(params[:, None, :], (4, 6, 30)))
+  # elementwise transform: per-element derivative positive (monotone)
+  assert (np.asarray(dfdz) > 0).all()
+
+
+def test_symm_elu_transform_forward_logdet():
+  from indm_tpu.flows.wolf_glow import _symm_elu
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  zp = jax.random.normal(jax.random.PRNGKey(0), (3, 5))
+  params = jax.random.normal(jax.random.PRNGKey(1), (3, 10)) * 0.5
+  y, ld = _symm_elu(params, zp, False, 1.0)
+  assert y.shape == zp.shape and np.isfinite(np.asarray(ld)).all()
+  # logdet vs autodiff
+  mu, log_scale = jnp.split(params, 2, axis=-1)
+  def f(v, m, s):
+    sc = jnp.tanh(s * 0.5)
+    return v - jnp.sign(v) * sc * (jnp.exp(-jnp.abs(v)) - 1.0) + m
+  d = jax.vmap(jax.vmap(jax.grad(f)))(zp, mu, log_scale)
+  np.testing.assert_allclose(
+      np.asarray(ld), np.asarray(jnp.sum(jnp.log(d), axis=-1)), atol=1e-4)

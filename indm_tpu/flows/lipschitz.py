@@ -392,6 +392,13 @@ class InducedNormLinear:
                             params["v"], n_iter)
     return {**params, "u": u, "v": v}
 
+  def compute_one_iter(self, params):
+    """One monitoring iteration of sigma (`mixed_lipschitz.py:77-90`):
+    u^T W v after a single fresh power step, without touching state."""
+    u, v = self._power_iter(lax.stop_gradient(params["w"]),
+                            params["u"], params["v"], 1)
+    return u @ (v @ lax.stop_gradient(params["w"]))
+
 
 class InducedNormConv2d:
   """`mixed_lipschitz.py:150-405`: full-tensor u/v iterated by
@@ -458,6 +465,12 @@ class InducedNormConv2d:
     u, v = self._power_iter(lax.stop_gradient(params["w"]), params["u"],
                             params["v"], n_iter)
     return {**params, "u": u, "v": v}
+
+  def compute_one_iter(self, params):
+    """One monitoring iteration of sigma (`mixed_lipschitz.py:239-252`)."""
+    w = lax.stop_gradient(params["w"])
+    u, v = self._power_iter(w, params["u"], params["v"], 1)
+    return jnp.sum(u * self._conv(w, v))
 
 
 def get_conv2d(in_ch, out_ch, kernel_size, coeff, domain, codomain,

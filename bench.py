@@ -159,8 +159,10 @@ def main():
   n_chips = jax.device_count()
   value = steps_per_sec / n_chips
   print(f"# final loss mean: {final_loss:.5f}", file=sys.stderr)
+  kind = "joint" if flow_model is not None else "score"
   print(json.dumps({
-      "metric": "indm_vp_cifar10_joint_train_steps_per_sec_per_chip",
+      "metric": f"indm_{cfg.training.sde[:2]}_cifar10_{kind}"
+                "_train_steps_per_sec_per_chip",
       "value": round(value, 4),
       "unit": f"steps/s/chip (batch {batch_size})",
       "vs_baseline": round(value / A100_REF_STEPS_PER_SEC, 4),

@@ -49,12 +49,12 @@ def main():
   # BENCH_FLOW=identity benches the score-only step (flow cost ablation).
   if os.environ.get("BENCH_FLOW"):
     cfg.flow.model = os.environ["BENCH_FLOW"]
-  # Static Neumann unroll: identical estimator with the Russian-roulette
-  # coefficients, tail clipped at 8 VJP terms (P[n+2 > 8] ~ 1.7% for
-  # Poisson(2); per-term magnitude <= 0.98^8/8). The dynamic while_loop
-  # variant is semantically exact but compiles poorly through this stack's
-  # remote-compile relay.
-  cfg.flow.logdet_unroll = int(os.environ.get("BENCH_LOGDET_UNROLL", 8))
+  # Neumann log-det estimator: 0 (default) = the dynamic-length
+  # `lax.while_loop` — the reference's EXACT Russian-roulette estimator,
+  # executing only the sampled n+2 terms (E = 4 for Poisson(2)); > 0 = a
+  # fixed unroll of that many terms with tail clipping (simpler HLO,
+  # ~10% slower at 8 since every term always runs).
+  cfg.flow.logdet_unroll = int(os.environ.get("BENCH_LOGDET_UNROLL", 0))
   # bf16 stop-gradient Neumann chain (estimator-only precision change).
   cfg.flow.logdet_bf16 = bool(int(os.environ.get("BENCH_LOGDET_BF16", "1")))
   # bf16 Lipschitz-net compute with f32 master params + normalization.

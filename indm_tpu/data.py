@@ -23,7 +23,7 @@ import os
 import pickle
 import queue
 import threading
-from typing import Iterator, Optional, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np

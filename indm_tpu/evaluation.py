@@ -13,14 +13,13 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from indm_tpu import data as data_lib
-from indm_tpu import sampling_io
 from indm_tpu.metrics import (compute_statistics, frechet_distance,
                               inception_score, kernel_distance)
 from indm_tpu.metrics import inception as inception_lib

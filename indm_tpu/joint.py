@@ -24,14 +24,13 @@ wolf encoder's BatchNorm running statistics, updated functionally.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from indm_tpu import sde as sde_lib
 from indm_tpu.ema import ema_update
 from indm_tpu.flows.flow_model import FlowModel, flow_forward, update_lipschitz
 from indm_tpu.losses import calculate_logp, get_sde_loss_fn

@@ -13,14 +13,12 @@ All entry points take explicit closures:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from indm_tpu import ode as ode_lib
-from indm_tpu import sde as sde_lib
 from indm_tpu.sde import right_bcast
 
 

@@ -14,7 +14,6 @@ Joint flow+score steps live in `indm_tpu.joint` (built on these pieces).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

@@ -17,8 +17,6 @@ Samplers take explicit callables:
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

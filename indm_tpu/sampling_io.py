@@ -9,10 +9,9 @@ samples exist the flow inverse is re-applied in chunks
 
 from __future__ import annotations
 
-import io
 import logging
 import os
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -352,19 +352,23 @@ def make_jit_sample_round(config, sde, score_module, flow_model,
   for a compile service and recompiled after every state update. Passing
   the states through jit keeps the program small and cacheable."""
 
-  def run(rng, ss, fs, temperature, data_mean, before_data):
+  def run(rng, ss, fs, temperature, data_mean, before_data, final_time):
     score_fn, _, flow_inverse = make_eval_fns(
         config, sde, ss, fs, score_module, flow_model, use_ema=use_ema)
     return sampling_fn(rng, score_fn, flow_inverse,
                        temperature=temperature, data_mean=data_mean,
-                       before_data=before_data)
+                       before_data=before_data, final_time=final_time)
 
   jrun = jax.jit(run)
 
-  def sample_round(rng, temperature=1.0, data_mean=None, before_data=None):
+  def sample_round(rng, temperature=1.0, data_mean=None, before_data=None,
+                   final_time=0.0):
+    # final_time is traced (not baked) so the VE denoise search can sweep
+    # `--config.sampling.pc_denoise_time` without recompiling
+    # (`sampling_lib.py:60-109`).
     return jrun(rng, score_state, flow_state,
                 jnp.asarray(temperature, jnp.float32), data_mean,
-                before_data)
+                before_data, jnp.asarray(final_time, jnp.float32))
 
   return sample_round
 

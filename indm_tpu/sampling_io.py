@@ -43,7 +43,12 @@ def _to_uint8(x) -> np.ndarray:
 
 
 def sample_paths(config, sample_dir, r):
-  """Artifact names mirror the reference (`sampling_lib.py:31-63`)."""
+  """Artifact names mirror the reference (`sampling_lib.py:31-109`).
+
+  In the denoise/more_step variants the before-flow cache is suffixed too
+  (`samples_{r}_before_flow_denoise_{t}.npz` / `..._before_flow_more_step.npz`,
+  `sampling_lib.py:62,76,122`) — the UNsuffixed `samples_{r}_before_flow.npz`
+  holds the base trajectory those variants resume from."""
   suffix = ""
   if config.sampling.pc_denoise:
     suffix = f"_denoise_{config.sampling.pc_denoise_time}"
@@ -51,7 +56,9 @@ def sample_paths(config, sample_dir, r):
     suffix = "_more_step"
   return {
       "after": os.path.join(sample_dir, f"samples_{r}{suffix}.npz"),
-      "before": os.path.join(sample_dir, f"samples_{r}_before_flow.npz"),
+      "before": os.path.join(sample_dir,
+                             f"samples_{r}_before_flow{suffix}.npz"),
+      "base": os.path.join(sample_dir, f"samples_{r}_before_flow.npz"),
       "search": os.path.join(sample_dir,
                              f"samples_{r}_before_flow_for_search.npz"),
       "png": os.path.join(sample_dir, f"samples_{r}{suffix}.png"),
@@ -73,7 +80,7 @@ def get_samples(config, flow_inverse, sample_round, step, r,
     with np.load(paths["after"]) as z:
       return z["samples"]
 
-  # re-use cached before-flow samples when available
+  # re-use cached (variant-suffixed) before-flow samples when available
   if before_data is None and os.path.exists(paths["before"]):
     with np.load(paths["before"]) as z:
       before = z["samples"].astype(np.float32) / 255.0
@@ -82,11 +89,30 @@ def get_samples(config, flow_inverse, sample_round, step, r,
     np.savez_compressed(paths["after"], samples=_to_uint8(after))
     return _to_uint8(after)
 
+  # denoise/more_step resume a previously cached trajectory instead of
+  # sampling from the prior (`sampling_lib.py:60-109`): VE denoise-search
+  # reloads the step-(N-2) state (`..._before_flow_for_search.npz`), the
+  # others the final before-flow samples.
+  final_time = (config.sampling.pc_denoise_time
+                if config.sampling.pc_denoise else 0.0)
+  if (before_data is None
+      and (config.sampling.pc_denoise or config.sampling.more_step)):
+    src = (paths["search"]
+           if config.sampling.pc_denoise and config.training.sde == "vesde"
+           else paths["base"])
+    if os.path.exists(src):
+      from indm_tpu import data as data_lib
+      with np.load(src) as z:
+        raw = z["samples"].astype(np.float32) / 255.0
+      before_data = jnp.asarray(data_lib.get_data_scaler(config)(raw))
+      logging.info("round %s: resuming cached trajectory %s "
+                   "(final_time=%s)", r, os.path.basename(src), final_time)
+
   if rng is None:
     rng = jax.random.PRNGKey(int(step) * 1000 + int(r) % 1000)
   before, after, search, nfe = sample_round(
       rng, temperature=temperature, data_mean=data_mean,
-      before_data=before_data)
+      before_data=before_data, final_time=final_time)
   logging.info("sampling round %s done (nfe=%s)", r, int(nfe))
 
   before_u8 = _to_uint8(before)

@@ -5,6 +5,8 @@ score is -x: samplers must reproduce N(0, I) and the ODE likelihood must
 equal the analytic Gaussian log-density (drift == 0, Hutchinson exact).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,6 +47,56 @@ def test_pc_sampler_reverse_diffusion_gaussian(cfg):
   assert abs(s.std() - 1.0) < 0.05
   # search capture is the inverse-scaled step-(N-2) state; finite & same shape
   assert np.isfinite(np.asarray(search)).all()
+
+
+def test_pc_denoise_final_time_changes_samples(tmp_path):
+  """`pc_denoise_time` must reach the final denoise step: two different
+  denoise times re-run from the SAME cached trajectory must give different
+  samples (`sampling.py:458-493`, `sampling_lib.py:60-109`). Round-1 bug:
+  final_time silently defaulted to 0."""
+  from indm_tpu import sampling_io
+
+  c = get_config("ve/CIFAR10/indm")
+  c.flow.model = "identity"
+  c.data.image_size = 4
+  c.model.num_scales = 20
+  c.sampling.num_scales = 20
+  c.sampling.pc_denoise = True
+  c.sampling.need_sample = False
+  sde = sde_lib.get_sde(c)
+  shape = (4, 4, 4, 3)
+  sampler = sampling_lib.get_pc_sampler(
+      c, sde, shape, sampling_lib.get_predictor("reverse_diffusion"),
+      sampling_lib.get_corrector("none"), inverse_scaler=lambda x: x,
+      snr=0.16, denoise=True, eps=1e-3)
+
+  jrun = jax.jit(lambda rng, before_data, final_time: sampler(
+      rng, exact_score, before_data=before_data, final_time=final_time))
+
+  def sample_round(rng, temperature=1.0, data_mean=None, before_data=None,
+                   final_time=0.0):
+    return jrun(rng, before_data, jnp.asarray(final_time))
+
+  # phase 1: cache the trajectory (plain search run writes the search state)
+  cached = np.random.default_rng(0).random(shape).astype(np.float32)
+  np.savez_compressed(tmp_path / "samples_7_before_flow_for_search.npz",
+                      samples=(cached * 255).astype(np.uint8))
+
+  outs = {}
+  for t_final in (0.0, 0.3):
+    c.sampling.pc_denoise_time = t_final
+    outs[t_final] = sampling_io.get_samples(
+        c, None, sample_round, step=0, r=7, sample_dir=str(tmp_path),
+        rng=jax.random.PRNGKey(5))
+    paths = sampling_io.sample_paths(c, str(tmp_path), 7)
+    assert os.path.exists(paths["after"]), paths["after"]
+    assert os.path.exists(paths["before"]), paths["before"]
+  assert not np.array_equal(outs[0.0], outs[0.3])
+  # idempotence: a re-run at the same time loads the cache, no resampling
+  c.sampling.pc_denoise_time = 0.3
+  again = sampling_io.get_samples(c, None, lambda *a, **k: 1 / 0, step=0,
+                                  r=7, sample_dir=str(tmp_path))
+  assert np.array_equal(again, outs[0.3])
 
 
 def test_pc_sampler_euler_langevin_runs(cfg):

@@ -332,6 +332,12 @@ class GeometricVPSDE(VPSDE):
     sigma2_geom = self.sigma2_min * ((self.sigma2_max / self.sigma2_min) ** t)
     betas = sigma2_geom * log_term / (
         1.0 - self.sigma2_0 + self.sigma2_min - sigma2_geom)
+    # The reference builds the same table (`sde_lib.py:369-377`) where the
+    # geometric tail pushes beta > 1, so alphas go negative and
+    # sqrt(alphas_cumprod) turns NaN for every later index a discrete
+    # sampler can touch. Clamp like DDPM's discrete table so all entries
+    # stay finite; the clamped tail corresponds to a fully-noised step.
+    betas = np.clip(betas, 0.0, 0.999)
     alphas = 1.0 - betas
     alphas_cumprod = np.cumprod(alphas)
     self.discrete_betas = jnp.asarray(betas, jnp.float32)

@@ -136,6 +136,22 @@ def test_gvp_marginal_matches_tables():
   np.testing.assert_allclose(float(std[0]), np.sqrt(sde.sigma2_max), rtol=1e-5)
 
 
+def test_gvp_discrete_tables_all_finite():
+  """Every discrete-table entry a sampler can index must be finite: the
+  reference's table (`sde_lib.py:369-377`) carries NaN sqrt(alphas_cumprod)
+  in the geometric tail (betas > 1); the rebuild clamps instead."""
+  sde = sde_lib.GeometricVPSDE(N=1000)
+  for name in ("discrete_betas", "alphas", "alphas_cumprod",
+               "sqrt_alphas_cumprod", "sqrt_1m_alphas_cumprod"):
+    table = np.asarray(getattr(sde, name))
+    assert table.shape == (1000,)
+    assert np.isfinite(table).all(), name
+  assert (np.asarray(sde.discrete_betas) < 1.0).all()
+  # tail underflows to exactly 0 (fully noised) — never negative
+  assert (np.asarray(sde.alphas_cumprod) >= 0.0).all()
+  assert (np.asarray(sde.sqrt_1m_alphas_cumprod) <= 1.0).all()
+
+
 def test_get_sde_dispatch():
   from indm_tpu.configs import get_config
   cfg = get_config("vp/CIFAR10/indm_nll")

@@ -1,0 +1,443 @@
+"""Torch<->JAX golden parity tests against the ACTUAL reference modules.
+
+Runs the reference PyTorch implementations from /root/reference on CPU (the
+CUDA `op` extension is replaced by the reference's own pure-torch
+`upfirdn2d_native`, extracted from `op/upfirdn2d.py:159-200` without importing
+the CUDA JIT) and asserts our JAX implementations reproduce them:
+
+  * upfirdn2d            vs `op/upfirdn2d.py:159-200` (upfirdn2d_native)
+  * VP/subVP/VE/GVP SDEs vs `sde_lib.py:123-466` closed forms
+  * t importance sampler vs `sde_lib.py:197-206,333-341` inverse CDFs
+  * iResBlock logdet     vs `flow_models/resflow/layers/iresblock.py:85-94`
+  * spectral-norm sigma  vs `flow_models/resflow/layers/base/lipschitz.py`
+
+Skips cleanly when torch or /root/reference is unavailable.
+"""
+
+import ast
+import math
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available")
+
+
+# ---------------------------------------------------------------------------
+# Reference loading (CPU-only: never trigger the CUDA cpp_extension JIT)
+# ---------------------------------------------------------------------------
+
+_cache = {}
+
+
+def _extract_function(path, name, namespace):
+  """exec a single function def out of a source file (skips module-level
+  side effects like `torch.utils.cpp_extension.load`)."""
+  with open(path) as f:
+    tree = ast.parse(f.read())
+  for node in tree.body:
+    if isinstance(node, ast.FunctionDef) and node.name == name:
+      mod = ast.Module(body=[node], type_ignores=[])
+      code = compile(mod, path, "exec")
+      exec(code, namespace)
+      return namespace[name]
+  raise AssertionError(f"{name} not found in {path}")
+
+
+def ref_upfirdn2d_native():
+  if "upfirdn2d_native" not in _cache:
+    ns = {"torch": torch, "F": torch.nn.functional}
+    _cache["upfirdn2d_native"] = _extract_function(
+        os.path.join(REF, "op", "upfirdn2d.py"), "upfirdn2d_native", ns)
+  return _cache["upfirdn2d_native"]
+
+
+def _install_op_stub():
+  """Replace the reference's CUDA `op` package with its own CPU semantics so
+  `flow_models` / `models` import cleanly (SURVEY §7.4 stubbing)."""
+  if "op" in sys.modules and getattr(sys.modules["op"], "_parity_stub", False):
+    return
+  native = ref_upfirdn2d_native()
+
+  def upfirdn2d(input, kernel, up=1, down=1, pad=(0, 0)):
+    return native(input, kernel, up, up, down, down,
+                  pad[0], pad[1], pad[0], pad[1])
+
+  def fused_leaky_relu(input, bias, negative_slope=0.2, scale=2 ** 0.5):
+    rest_dim = [1] * (input.ndim - bias.ndim - 1)
+    return torch.nn.functional.leaky_relu(
+        input + bias.view(1, bias.shape[0], *rest_dim),
+        negative_slope=negative_slope) * scale
+
+  class FusedLeakyReLU(torch.nn.Module):
+    def __init__(self, channel, negative_slope=0.2, scale=2 ** 0.5):
+      super().__init__()
+      self.bias = torch.nn.Parameter(torch.zeros(channel))
+      self.negative_slope, self.scale = negative_slope, scale
+
+    def forward(self, input):
+      return fused_leaky_relu(input, self.bias, self.negative_slope,
+                              self.scale)
+
+  stub = types.ModuleType("op")
+  stub.upfirdn2d = upfirdn2d
+  stub.fused_leaky_relu = fused_leaky_relu
+  stub.FusedLeakyReLU = FusedLeakyReLU
+  stub._parity_stub = True
+  sys.modules["op"] = stub
+
+
+def ref_module(name):
+  """Import a reference module by dotted name with /root/reference on the
+  path and the CUDA op package stubbed."""
+  if name not in _cache:
+    _install_op_stub()
+    if REF not in sys.path:
+      sys.path.insert(0, REF)
+    _cache[name] = __import__(name, fromlist=["_"])
+  return _cache[name]
+
+
+def t2n(x):
+  return x.detach().cpu().numpy()
+
+
+# ---------------------------------------------------------------------------
+# upfirdn2d
+# ---------------------------------------------------------------------------
+
+UPFIRDN_CASES = [
+    # (up, down, pad, kernel_size)
+    (1, 1, (1, 1), 3),
+    (2, 1, (2, 1), 4),
+    (1, 2, (1, 1), 4),
+    (2, 2, (2, 2), 3),
+    (1, 1, (0, 2), 2),
+    (1, 2, (2, 0), 3),
+]
+
+
+@pytest.mark.parametrize("up,down,pad,ksz", UPFIRDN_CASES)
+def test_upfirdn2d_vs_reference(up, down, pad, ksz):
+  from indm_tpu.ops.upfirdn2d import upfirdn2d, upfirdn2d_native
+
+  rng = np.random.RandomState(0)
+  x = rng.randn(2, 3, 8, 8).astype(np.float32)           # NCHW for torch
+  k = rng.randn(ksz, ksz).astype(np.float32)
+
+  native = ref_upfirdn2d_native()
+  ref = t2n(native(torch.from_numpy(x), torch.from_numpy(k),
+                   up, up, down, down, pad[0], pad[1], pad[0], pad[1]))
+
+  x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+  got = np.asarray(upfirdn2d(x_nhwc, jnp.asarray(k), up=up, down=down,
+                             pad=pad)).transpose(0, 3, 1, 2)
+  oracle = np.asarray(upfirdn2d_native(
+      x_nhwc, jnp.asarray(k), up, up, down, down,
+      pad[0], pad[1], pad[0], pad[1])).transpose(0, 3, 1, 2)
+
+  np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+  np.testing.assert_allclose(oracle, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_upfirdn2d_grad_vs_reference():
+  """JAX AD's derived VJP must match torch autograd through the native op."""
+  from indm_tpu.ops.upfirdn2d import upfirdn2d
+
+  rng = np.random.RandomState(1)
+  x = rng.randn(1, 2, 6, 6).astype(np.float32)
+  k = rng.randn(3, 3).astype(np.float32)
+
+  native = ref_upfirdn2d_native()
+  xt = torch.from_numpy(x).requires_grad_(True)
+  out = native(xt, torch.from_numpy(k), 2, 2, 1, 1, 1, 1, 1, 1)
+  out.sum().backward()
+  ref_grad = t2n(xt.grad)
+
+  f = lambda xx: jnp.sum(upfirdn2d(xx, jnp.asarray(k), up=2, down=1,
+                                   pad=(1, 1)))
+  got = np.asarray(jax.grad(f)(jnp.asarray(x.transpose(0, 2, 3, 1))))
+  np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref_grad,
+                             rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# SDE closed forms
+# ---------------------------------------------------------------------------
+
+def _sde_pair(kind):
+  sde_lib = ref_module("sde_lib")
+  import indm_tpu.sde as jsde
+  kw = dict(truncation_time=1e-5, N=1000)
+  if kind == "vp":
+    return sde_lib.VPSDE(**kw), jsde.VPSDE(**kw)
+  if kind == "subvp":
+    return sde_lib.subVPSDE(**kw), jsde.subVPSDE(**kw)
+  if kind == "ve":
+    return sde_lib.VESDE(**kw), jsde.VESDE(**kw)
+  if kind == "gvp":
+    return sde_lib.GeometricVPSDE(**kw), jsde.GeometricVPSDE(**kw)
+  raise ValueError(kind)
+
+
+_T_GRID = np.array([1e-5, 0.01, 0.1, 0.35, 0.5, 0.77, 0.999], np.float32)
+
+
+@pytest.mark.parametrize("kind", ["vp", "subvp", "ve", "gvp"])
+def test_sde_closed_forms_vs_reference(kind):
+  ref, mine = _sde_pair(kind)
+  rng = np.random.RandomState(2)
+  x = rng.randn(len(_T_GRID), 3, 4, 4).astype(np.float32)
+  xt, tt = torch.from_numpy(x), torch.from_numpy(_T_GRID)
+  xj, tj = jnp.asarray(x), jnp.asarray(_T_GRID)
+
+  # marginal_prob
+  mean_r, std_r = ref.marginal_prob(xt, tt)
+  mean_j, std_j = mine.marginal_prob(xj, tj)
+  np.testing.assert_allclose(np.asarray(mean_j), t2n(mean_r), rtol=2e-5,
+                             atol=1e-6)
+  np.testing.assert_allclose(np.asarray(std_j), t2n(std_r) + 0.0, rtol=2e-5,
+                             atol=1e-6)
+
+  # sde drift/diffusion
+  dr_r, di_r = ref.sde(xt, tt)
+  dr_j, di_j = mine.sde(xj, tj)
+  np.testing.assert_allclose(np.asarray(dr_j), t2n(dr_r), rtol=2e-5, atol=1e-6)
+  np.testing.assert_allclose(
+      np.broadcast_to(np.asarray(di_j), _T_GRID.shape),
+      np.broadcast_to(t2n(di_r), _T_GRID.shape), rtol=2e-5, atol=1e-6)
+
+  # prior_logp
+  np.testing.assert_allclose(np.asarray(mine.prior_logp(xj)),
+                             t2n(ref.prior_logp(xt)), rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["vp", "ve", "gvp"])
+def test_sde_discretize_vs_reference(kind):
+  ref, mine = _sde_pair(kind)
+  rng = np.random.RandomState(3)
+  x = rng.randn(len(_T_GRID), 3, 4, 4).astype(np.float32)
+  xt, tt = torch.from_numpy(x), torch.from_numpy(_T_GRID)
+  xj, tj = jnp.asarray(x), jnp.asarray(_T_GRID)
+
+  # two-time-point discretization (the PC sampler's path)
+  next_t = np.maximum(_T_GRID - 1.0 / 1000.0, 0.0).astype(np.float32)
+  f_r, g_r = ref.discretize(xt, tt, torch.from_numpy(next_t))
+  f_j, g_j = mine.discretize(xj, tj, jnp.asarray(next_t))
+  np.testing.assert_allclose(np.asarray(f_j), t2n(f_r), rtol=2e-4, atol=1e-5)
+  np.testing.assert_allclose(np.asarray(g_j), t2n(g_r), rtol=2e-4, atol=1e-6)
+
+  if kind == "gvp":
+    return  # reference raises NotImplementedError for next_t=None
+  f_r, g_r = ref.discretize(xt, tt, None)
+  f_j, g_j = mine.discretize(xj, tj, None)
+  np.testing.assert_allclose(np.asarray(f_j), t2n(f_r), rtol=2e-5, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(g_j), t2n(g_r), rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["vp", "ve"])
+def test_importance_sampled_time_vs_reference(kind, monkeypatch):
+  """Same uniforms through both inverse CDFs -> same t and Z
+  (`sde_lib.py:197-206` VP, `:333-341` VE)."""
+  ref, mine = _sde_pair(kind)
+  u = np.linspace(0.01, 0.99, 16).astype(np.float32)
+  t_min = 1e-5
+
+  monkeypatch.setattr(torch, "rand",
+                      lambda *a, **k: torch.from_numpy(u.copy()))
+  cfg = types.SimpleNamespace(
+      training=types.SimpleNamespace(importance_sampling=True))
+  t_ref, z_ref = ref.get_diffusion_time(cfg, len(u), "cpu", t_min)
+
+  monkeypatch.setattr(jax.random, "uniform",
+                      lambda rng, shape=(), **k: jnp.asarray(u))
+  t_j, z_j = mine.get_diffusion_time(jax.random.PRNGKey(0), len(u), t_min,
+                                     importance_sampling=True)
+  np.testing.assert_allclose(np.asarray(t_j), t2n(t_ref), rtol=1e-4,
+                             atol=1e-6)
+  np.testing.assert_allclose(float(z_j), float(z_ref), rtol=1e-4)
+
+
+def test_vp_antiderivative_vs_reference():
+  ref, mine = _sde_pair("vp")
+  for t in [1e-5, 0.1, 0.5, 1.0]:
+    np.testing.assert_allclose(float(mine.antiderivative(t)),
+                               float(ref.antiderivative(t)), rtol=1e-5)
+  np.testing.assert_allclose(float(mine.normalizing_constant(1e-5)),
+                             float(ref.normalizing_constant(1e-5)),
+                             rtol=1e-5)
+
+
+def test_gvp_discrete_tables_match_where_reference_is_finite():
+  """Our clamped GVP beta table must agree with the reference everywhere the
+  reference's own table is finite (`sde_lib.py:369-377`)."""
+  ref, mine = _sde_pair("gvp")
+  ref_betas = t2n(ref.discrete_betas)
+  mine_betas = np.asarray(mine.discrete_betas)
+  finite_valid = np.isfinite(ref_betas) & (ref_betas < 0.999)
+  np.testing.assert_allclose(mine_betas[finite_valid],
+                             ref_betas[finite_valid], rtol=1e-4)
+  assert np.all(np.isfinite(np.asarray(mine.sqrt_alphas_cumprod)))
+
+
+# ---------------------------------------------------------------------------
+# iResBlock exact log-det
+# ---------------------------------------------------------------------------
+
+class _TorchMLP(torch.nn.Module):
+  def __init__(self, w1, b1, w2, b2):
+    super().__init__()
+    self.l1 = torch.nn.Linear(w1.shape[1], w1.shape[0])
+    self.l2 = torch.nn.Linear(w2.shape[1], w2.shape[0])
+    with torch.no_grad():
+      self.l1.weight.copy_(torch.from_numpy(w1))
+      self.l1.bias.copy_(torch.from_numpy(b1))
+      self.l2.weight.copy_(torch.from_numpy(w2))
+      self.l2.bias.copy_(torch.from_numpy(b2))
+
+  def forward(self, x):
+    return self.l2(torch.tanh(self.l1(x)))
+
+
+class _JaxMLPAdapter:
+  """Minimal nnet protocol (init/apply) computing the identical MLP."""
+
+  def __init__(self, w1, b1, w2, b2):
+    # torch Linear weight is (out, in); store transposed for x @ w.
+    self.w1, self.b1 = jnp.asarray(w1.T), jnp.asarray(b1)
+    self.w2, self.b2 = jnp.asarray(w2.T), jnp.asarray(b2)
+
+  def init(self, rng):
+    return {}
+
+  def apply(self, params, x, h=None):
+    return jnp.tanh(x @ self.w1 + self.b1) @ self.w2 + self.b2
+
+
+def _mlp_weights(seed=4, scale=0.35):
+  rng = np.random.RandomState(seed)
+  w1 = (scale * rng.randn(16, 2) / 4.0).astype(np.float32)
+  b1 = (0.1 * rng.randn(16)).astype(np.float32)
+  w2 = (scale * rng.randn(2, 16) / 4.0).astype(np.float32)
+  b2 = (0.1 * rng.randn(2)).astype(np.float32)
+  return w1, b1, w2, b2
+
+
+def test_iresblock_exact_logdet_vs_reference_brute_force():
+  """`iresblock.py:85-94` brute-force 2-D Jacobian determinant vs our
+  `IResBlock.exact_logdet` full-Jacobian slogdet on the same weights."""
+  irb = ref_module("flow_models.resflow.layers.iresblock")
+  from indm_tpu.flows.resflow import IResBlock
+
+  w1, b1, w2, b2 = _mlp_weights()
+  x = np.random.RandomState(5).randn(8, 2).astype(np.float32)
+
+  block_t = irb.iResBlock(_TorchMLP(w1, b1, w2, b2), brute_force=True)
+  block_t.eval()
+  y_t, neg_ld = block_t(torch.from_numpy(x), torch.zeros(8, 1))
+  ld_ref = -t2n(neg_ld).reshape(-1)          # forward returns logpx - logdet
+
+  block_j = IResBlock(_JaxMLPAdapter(w1, b1, w2, b2))
+  params = block_j.init(jax.random.PRNGKey(0))
+  ld_j = np.asarray(block_j.exact_logdet(params, jnp.asarray(x)))
+  np.testing.assert_allclose(ld_j, ld_ref, rtol=1e-4, atol=1e-6)
+
+  y_j, _ = block_j.forward(params, jnp.asarray(x))
+  np.testing.assert_allclose(np.asarray(y_j), t2n(y_t), rtol=1e-5, atol=1e-6)
+
+
+def test_iresblock_inverse_vs_reference():
+  irb = ref_module("flow_models.resflow.layers.iresblock")
+  from indm_tpu.flows.resflow import IResBlock
+
+  w1, b1, w2, b2 = _mlp_weights(seed=6)
+  y = np.random.RandomState(7).randn(8, 2).astype(np.float32)
+
+  block_t = irb.iResBlock(_TorchMLP(w1, b1, w2, b2))
+  block_t.eval()
+  with torch.no_grad():
+    x_ref = t2n(block_t._inverse_fixed_point(torch.from_numpy(y),
+                                             atol=1e-7, rtol=1e-7))
+
+  block_j = IResBlock(_JaxMLPAdapter(w1, b1, w2, b2),
+                      inverse_atol=1e-7, inverse_rtol=1e-7)
+  params = block_j.init(jax.random.PRNGKey(0))
+  x_j, _ = block_j.inverse(params, jnp.asarray(y))
+  np.testing.assert_allclose(np.asarray(x_j), x_ref, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Spectral normalization
+# ---------------------------------------------------------------------------
+
+def test_spectral_norm_linear_sigma_vs_reference():
+  lip = ref_module("flow_models.resflow.layers.base.lipschitz")
+  from indm_tpu.flows.lipschitz import SpectralNormLinear
+
+  rng = np.random.RandomState(8)
+  w = rng.randn(12, 6).astype(np.float32)      # torch layout (out, in)
+
+  mod = lip.SpectralNormLinear(6, 12, coeff=0.97, n_iterations=None,
+                               atol=1e-9, rtol=1e-9)
+  with torch.no_grad():
+    mod.weight.copy_(torch.from_numpy(w))
+  w_norm_ref = t2n(mod.compute_weight(update=True, n_iterations=1000))
+  sigma_ref = float(mod.scale)
+
+  layer = SpectralNormLinear(6, 12, coeff=0.97)
+  params = layer.init(jax.random.PRNGKey(0))
+  params["w"] = jnp.asarray(w.T)               # ours is (in, out)
+  params = layer.converge(params, n_iter=1000)
+  w_norm_j, _ = layer.normalized_weight(params)
+
+  sigma_svd = float(np.linalg.svd(w, compute_uv=False)[0])
+  assert abs(sigma_ref - sigma_svd) < 1e-4 * sigma_svd
+  np.testing.assert_allclose(np.asarray(w_norm_j).T, w_norm_ref,
+                             rtol=1e-4, atol=1e-6)
+
+
+def test_spectral_norm_conv_sigma_vs_reference():
+  lip = ref_module("flow_models.resflow.layers.base.lipschitz")
+  from indm_tpu.flows.lipschitz import SpectralNormConv2d
+
+  rng = np.random.RandomState(9)
+  w = rng.randn(4, 3, 3, 3).astype(np.float32)  # torch OIHW
+
+  mod = lip.SpectralNormConv2d(3, 4, 3, 1, 1, coeff=0.97, n_iterations=None,
+                               atol=1e-9, rtol=1e-9)
+  with torch.no_grad():
+    mod.weight.copy_(torch.from_numpy(w))
+    mod.spatial_dims.copy_(torch.tensor([8.0, 8.0]))
+  mod.compute_weight(update=True, n_iterations=500)
+  sigma_ref = float(mod.scale)
+
+  layer = SpectralNormConv2d(3, 4, 3, input_hw=(8, 8), coeff=0.97)
+  params = layer.init(jax.random.PRNGKey(0))
+  params["w"] = jnp.asarray(w.transpose(2, 3, 1, 0))  # OIHW -> HWIO
+  params = layer.converge(params, n_iter=500)
+  _, uv = layer.normalized_weight(params)
+  sigma_j = float(jnp.sum(uv["u"] * layer._conv(params["w"], uv["v"])))
+
+  np.testing.assert_allclose(sigma_j, sigma_ref, rtol=1e-4)
+
+  # and both soft-normalize identically
+  x = rng.randn(2, 3, 8, 8).astype(np.float32)
+  mod.eval()
+  with torch.no_grad():
+    y_ref = t2n(mod(torch.from_numpy(x))) - t2n(mod.bias)[None, :, None,
+                                                          None]
+  params["b"] = jnp.zeros_like(params["b"])
+  y_j, _ = layer.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+  np.testing.assert_allclose(np.asarray(y_j).transpose(0, 3, 1, 2), y_ref,
+                             rtol=1e-4, atol=1e-5)

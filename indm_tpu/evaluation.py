@@ -129,15 +129,19 @@ def compute_fid_and_is(config, sample_dir, assetdir=None,
   fid = frechet_distance(mu_fake, sigma_fake, mu_real, sigma_real)
   is_score = inception_score(logits_all)
   report = {"fid": fid, "inception_score": is_score,
-            "num_samples": len(pools)}
+            "num_samples": len(pools),
+            # 'random' => architecture-only weights: values are internally
+            # consistent but NOT comparable to reference FID numbers.
+            "weights": inception_lib.weights_source()}
   # KID needs RAW real features (`evaluation.py:322-333` uses the stats
   # file's pool_3 activations); available when the score_sde-style stats
   # npz carries them.
   real_feats = _raw_real_features(config, assetdir)
   if real_feats is not None:
     report["kid"] = kernel_distance(pools, real_feats)
-  logging.info("FID: %.4f, IS: %.4f, KID: %s (N=%d, stats=%s)", fid,
-               is_score, report.get("kid", "n/a"), len(pools), stats_src)
+  logging.info("FID: %.4f, IS: %.4f, KID: %s (N=%d, stats=%s, weights=%s)",
+               fid, is_score, report.get("kid", "n/a"), len(pools),
+               stats_src, report["weights"])
   np.savez_compressed(os.path.join(sample_dir, "report_all.npz"), **report)
   return report
 

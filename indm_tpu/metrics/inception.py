@@ -204,6 +204,17 @@ def random_params(seed: int = 0):
   return _MODULE.init(jax.random.PRNGKey(seed), x, train=False)
 
 
+def weights_source(path: Optional[str] = None) -> str:
+  """Provenance string for FID reports: the resolved weight-file path, or
+  'random' when the deterministic fallback is in use. Every FID/IS/KID
+  report carries this so random-weight pipeline numbers can never be
+  mistaken for real FIDs."""
+  path = path or os.environ.get("INDM_INCEPTION_WEIGHTS", "")
+  if path and os.path.exists(path):
+    return os.path.abspath(path)
+  return "random"
+
+
 def load_params(path: Optional[str] = None):
   """Load converted weights (.npz of flattened '/'-joined keys) or fall back
   to deterministic random weights."""

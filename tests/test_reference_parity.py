@@ -407,6 +407,70 @@ def test_spectral_norm_linear_sigma_vs_reference():
                              rtol=1e-4, atol=1e-6)
 
 
+# ---------------------------------------------------------------------------
+# InceptionV3 (FID variant) architecture parity
+# ---------------------------------------------------------------------------
+
+def test_inception_fid_features_vs_reference(monkeypatch, tmp_path):
+  """Build the reference pytorch-fid InceptionV3
+  (`cleanfid/inception_pytorch.py:21-328`, via an architecture-only
+  torchvision stub) with deterministic random weights, convert through
+  `convert_torch_state_dict`, and assert the flax pool3 features and logits
+  match torch to <=1e-4 (SURVEY §7.3 hard-part 5)."""
+  import torchvision_inception_stub
+  torchvision_inception_stub.install()
+  ip = ref_module("cleanfid.inception_pytorch")
+  from indm_tpu.metrics import inception
+
+  # Bypass the pretrained-weight download: fid_inception_v3 keeps its
+  # (stub-initialized) random weights.
+  orig_load = torch.nn.Module.load_state_dict
+  monkeypatch.setattr(ip, "load_state_dict_from_url", lambda *a, **k: None)
+  monkeypatch.setattr(
+      torch.nn.Module, "load_state_dict",
+      lambda self, sd, strict=True: None if sd is None
+      else orig_load(self, sd, strict=strict))
+
+  fid_net = ip.fid_inception_v3()
+
+  # Deterministic, forward-stable random weights (incl. BN buffers so the
+  # conversion of running stats is actually exercised).
+  gen = torch.Generator().manual_seed(0)
+  with torch.no_grad():
+    for p in fid_net.parameters():
+      fan_in = max(int(np.prod(p.shape[1:])), 1)
+      p.copy_(torch.randn(p.shape, generator=gen) / math.sqrt(fan_in))
+    for name, b in fid_net.named_buffers():
+      if name.endswith("running_mean"):
+        b.copy_(0.1 * torch.randn(b.shape, generator=gen))
+      elif name.endswith("running_var"):
+        b.copy_(1.0 + 0.2 * torch.rand(b.shape, generator=gen))
+  fid_net.eval()
+
+  monkeypatch.setattr(ip, "fid_inception_v3", lambda: fid_net)
+  wrapper = ip.InceptionV3(output_blocks=[3], resize_input=False,
+                           normalize_input=True)
+  wrapper.eval()
+
+  x = np.random.RandomState(10).rand(2, 3, 299, 299).astype(np.float32)
+  with torch.no_grad():
+    pool_ref = t2n(wrapper(torch.from_numpy(x))[0]).reshape(2, -1)
+    logits_ref = t2n(fid_net.fc(torch.from_numpy(pool_ref)))
+
+  weights_path = str(tmp_path / "inception_parity.npz")
+  inception.convert_torch_state_dict(fid_net.state_dict(), weights_path)
+  params = inception.load_params(weights_path)
+  pool_j, logits_j = inception.InceptionV3FID().apply(
+      params, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+  assert np.max(np.abs(np.asarray(pool_j) - pool_ref)) < 1e-4
+  assert np.max(np.abs(np.asarray(logits_j) - logits_ref)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Spectral normalization
+# ---------------------------------------------------------------------------
+
 def test_spectral_norm_conv_sigma_vs_reference():
   lip = ref_module("flow_models.resflow.layers.base.lipschitz")
   from indm_tpu.flows.lipschitz import SpectralNormConv2d

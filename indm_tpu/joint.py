@@ -38,10 +38,9 @@ from indm_tpu.models import registry as mutils
 from indm_tpu.state import TrainState
 
 
-def _split_batch(batch, num_micro: int):
-  b = batch.shape[0]
-  mb = b // num_micro
-  return [batch[i * mb:(i + 1) * mb] for i in range(num_micro)]
+def _stack_micro(batch, num_micro: int):
+  """[B, ...] -> [num_micro, B/num_micro, ...] contiguous chunks."""
+  return batch.reshape((num_micro, -1) + batch.shape[1:])
 
 
 def make_joint_step_fn(config, sde, score_module, flow_model: FlowModel,
@@ -101,25 +100,41 @@ def make_joint_step_fn(config, sde, score_module, flow_model: FlowModel,
   def tree_scale(a, c):
     return jax.tree_util.tree_map(lambda x: c * x, a)
 
+  _YS_KEYS = ("losses", "losses_score", "losses_flow", "losses_logp", "z")
+
+  def scan_phase1(score_state, flow_state, micro, keys, importance_sampling,
+                  st):
+    """Accumulate summed phase-1 grads over micro-batches with ONE compiled
+    body (`lax.scan`, like `losses.accumulate_microbatch_grads`; replaces the
+    reference's host loop at `losses.py:246-251,290-309`). The wolf encoder's
+    BatchNorm buffers thread through the scan carry."""
+
+    def body(carry, xs):
+      fb, gs, gf = carry
+      mb, k = xs
+      (_, aux), (gsi, gfi) = grad_joint(
+          score_state.params, flow_state.params, score_state.buffers,
+          fb, mb, k, importance_sampling, st)
+      ys = {key: aux[key] for key in _YS_KEYS}
+      return (aux["flow_buffers"], tree_add(gs, gsi),
+              tree_add(gf, gfi)), ys
+
+    zeros_s = jax.tree_util.tree_map(jnp.zeros_like, score_state.params)
+    zeros_f = jax.tree_util.tree_map(jnp.zeros_like, flow_state.params)
+    (fb, g_score, g_flow), ys = jax.lax.scan(
+        body, (flow_state.buffers, zeros_s, zeros_f), (micro, keys))
+    return ys, g_score, g_flow, fb
+
   # ---------------- NLL variant (`losses.py:258-320`) ----------------------
 
   def step_nll(states, batch):
     score_state, flow_state = states
     rng, step_rng = jax.random.split(score_state.rng)
-    micro = _split_batch(batch, num_micro)
+    micro = _stack_micro(batch, num_micro)
     keys = jax.random.split(step_rng, num_micro)
 
-    g_score = g_flow = None
-    auxes = []
-    flow_buffers = flow_state.buffers
-    for mb, k in zip(micro, keys):
-      (_, aux), (gs, gf) = grad_joint(
-          score_state.params, flow_state.params, score_state.buffers,
-          flow_buffers, mb, k, None, config.training.st)
-      flow_buffers = aux["flow_buffers"]
-      auxes.append(aux)
-      g_score = gs if g_score is None else tree_add(g_score, gs)
-      g_flow = gf if g_flow is None else tree_add(g_flow, gf)
+    ys, g_score, g_flow, flow_buffers = scan_phase1(
+        score_state, flow_state, micro, keys, None, config.training.st)
 
     if train:
       score_state = apply_update(score_state, g_score, score_opt,
@@ -132,7 +147,7 @@ def make_joint_step_fn(config, sde, score_module, flow_model: FlowModel,
     score_state = score_state.replace(rng=rng)
 
     metrics = tuple(
-        jnp.concatenate([a[key] for a in auxes])
+        ys[key].reshape(-1)
         for key in ("losses", "losses_score", "losses_flow", "losses_logp"))
     return (score_state, flow_state), metrics
 
@@ -154,22 +169,13 @@ def make_joint_step_fn(config, sde, score_module, flow_model: FlowModel,
   def step_fid(states, batch):
     score_state, flow_state = states
     rng, step_rng, phase2_rng = jax.random.split(score_state.rng, 3)
-    micro = _split_batch(batch, num_micro)
+    micro = _stack_micro(batch, num_micro)
     keys = jax.random.split(step_rng, num_micro)
     keys2 = jax.random.split(phase2_rng, num_micro)
 
     # Phase 1: joint loss, importance sampling ON (`losses.py:359`).
-    g_score = g_flow = None
-    auxes = []
-    flow_buffers = flow_state.buffers
-    for mb, k in zip(micro, keys):
-      (_, aux), (gs, gf) = grad_joint(
-          score_state.params, flow_state.params, score_state.buffers,
-          flow_buffers, mb, k, True, False)
-      flow_buffers = aux["flow_buffers"]
-      auxes.append(aux)
-      g_score = gs if g_score is None else tree_add(g_score, gs)
-      g_flow = gf if g_flow is None else tree_add(g_flow, gf)
+    ys, g_score, g_flow, flow_buffers = scan_phase1(
+        score_state, flow_state, micro, keys, True, False)
 
     if train:
       flow_state = apply_update(flow_state, g_flow, flow_opt,
@@ -178,29 +184,30 @@ def make_joint_step_fn(config, sde, score_module, flow_model: FlowModel,
           params=update_lipschitz(flow_model, flow_state.params),
           buffers=flow_buffers)
 
-      # Phase 2: score on detached z (`losses.py:379-400`).
+      # Phase 2: score on detached z (`losses.py:379-400`), again one
+      # compiled scan body regardless of num_micro_batch.
       st = config.training.st
       if st:
         # reuse phase-1 latents; rescale the retained phase-1 score grads by
         # const_adj per micro-batch: g <- c_k * g + h_k.
-        g2 = g_score
-        losses_score_out = []
-        for aux, k2 in zip(auxes, keys2):
-          z_det = jax.lax.stop_gradient(aux["z"])
+        def body_st(g2, xs):
+          z, losses_score_p1, k2 = xs
+          z_det = jax.lax.stop_gradient(z)
           (_, losses_add), h = grad_score_only(
               score_state.params, score_state.buffers, z_det, k2)
           const_adj = jax.lax.stop_gradient(
-              jnp.mean(losses_add) / jnp.mean(aux["losses_score"]))
-          g2 = tree_add(tree_scale(g2, const_adj), h)
-          losses_score_out.append(losses_add)
+              jnp.mean(losses_add) / jnp.mean(losses_score_p1))
+          return tree_add(tree_scale(g2, const_adj), h), losses_add
+
+        g2, losses_score_out = jax.lax.scan(
+            body_st, g_score, (ys["z"], ys["losses_score"], keys2))
       else:
         # fresh grads only (`losses.py:379-380` zero_grad), z recomputed with
         # the UPDATED flow under stop_gradient (`losses.py:383-385`; torch
         # no_grad still updates BN running stats — train=True here).
-        g2 = None
-        losses_score_out = []
-        fb = flow_state.buffers
-        for mb, k2 in zip(micro, keys2):
+        def body_fresh(carry, xs):
+          g2, fb = carry
+          mb, k2 = xs
           rf, rs = jax.random.split(k2)
           z, _, fb = flow_forward(config, flow_model, flow_state.params, fb,
                                   mb, rng=rf, train=train,
@@ -208,21 +215,23 @@ def make_joint_step_fn(config, sde, score_module, flow_model: FlowModel,
           z_det = jax.lax.stop_gradient(z)
           (_, losses_add), h = grad_score_only(
               score_state.params, score_state.buffers, z_det, rs)
-          g2 = h if g2 is None else tree_add(g2, h)
-          losses_score_out.append(losses_add)
+          return (tree_add(g2, h), fb), losses_add
+
+        zeros_s = jax.tree_util.tree_map(jnp.zeros_like, score_state.params)
+        (g2, fb), losses_score_out = jax.lax.scan(
+            body_fresh, (zeros_s, flow_state.buffers), (micro, keys2))
         flow_state = flow_state.replace(buffers=fb)
 
       score_state = apply_update(score_state, g2, score_opt,
                                  config.model.ema_rate)
+      losses_score = losses_score_out.reshape(-1)
     else:
-      losses_score_out = [a["losses_score"] for a in auxes]
+      losses_score = ys["losses_score"].reshape(-1)
 
     score_state = score_state.replace(rng=rng)
-    losses = jnp.concatenate([a["losses"] for a in auxes])
-    losses_flow = jnp.concatenate([a["losses_flow"] for a in auxes])
-    losses_logp = jnp.concatenate([a["losses_logp"] for a in auxes])
-    losses_score = jnp.concatenate(losses_score_out)
-    return (score_state, flow_state), (losses, losses_score, losses_flow,
-                                       losses_logp)
+    return (score_state, flow_state), (ys["losses"].reshape(-1),
+                                       losses_score,
+                                       ys["losses_flow"].reshape(-1),
+                                       ys["losses_logp"].reshape(-1))
 
   return step_nll if nll_variant else step_fid

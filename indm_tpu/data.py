@@ -89,11 +89,11 @@ def _pil_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def _resize_small(img: np.ndarray, size: int) -> np.ndarray:
-  """Resize preserving aspect so the SMALLER side == size
-  (`datasets.py:85-94`)."""
+  """Resize preserving aspect so the SMALLER side == size; target dims are
+  FLOORED like the reference's `int(h * ratio)` (`datasets.py:87-96`)."""
   h, w = img.shape[:2]
   ratio = size / min(h, w)
-  return _pil_resize(img, round(h * ratio), round(w * ratio))
+  return _pil_resize(img, int(h * ratio), int(w * ratio))
 
 
 def _crop_resize(img: np.ndarray, size: int) -> np.ndarray:
@@ -199,6 +199,31 @@ def _synthetic(config, n_train=512, n_test=128):
     img = 1 / (1 + np.exp(-img))
     return (img * 255).astype(np.uint8)
   return make(n_train), make(n_test)
+
+
+def is_synthetic(config) -> bool:
+  """True when NO real on-disk source exists for config.data.dataset, i.e.
+  `load_arrays` would return the seeded synthetic fallback. Existence check
+  only (no loading) — used by harnesses to fail loudly on misconfigured
+  datadirs while staying usable in pipeline tests."""
+  ds = config.data.dataset
+  for d in _search_dirs(config):
+    if ds.upper() == "CIFAR10" and os.path.isdir(
+        os.path.join(d, "cifar-10-batches-py")):
+      return False
+    if any(os.path.exists(os.path.join(d, n))
+           for n in (f"{ds.lower()}.npz", f"{ds}.npz")):
+      return False
+    folders = [os.path.join(d, ds), os.path.join(d, ds.lower())]
+    if ds.upper() == "LSUN" and config.data.get("category"):
+      folders = [os.path.join(d, "lsun", config.data.category),
+                 os.path.join(d, "LSUN", config.data.category)]
+    if any(os.path.isdir(f) for f in folders):
+      return False
+    if os.path.exists(os.path.join(
+        d, f"{ds.lower()}_{config.data.image_size}.npz")):
+      return False
+  return True
 
 
 def load_arrays(config) -> Tuple[np.ndarray, np.ndarray]:

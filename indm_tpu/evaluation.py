@@ -193,66 +193,112 @@ def fid_folder(config, folder: str, assetdir=None, params=None,
 
 def get_bpd(config, eval_ds, scaler, nelbo_fn, nll_fn, score_fn,
             flow_forward_fn, step: int = 0, eval: bool = False):
-  """NELBO x num_nelbo, 'NLL wrong' (no residual), 'NLL correct'
-  (residual), and truncation-time-specific NLL over the test set."""
-  num_data = config.eval.num_test_data if eval else config.eval.batch_size
+  """The full bits/dim harness (`evaluation.py:388-495`): NELBO x num_nelbo,
+  'NLL wrong' (no residual), 'NLL correct' (residual), and the fourth
+  'NLL correct w/ eps = training truncation_time' pass. Runs ALL sections
+  both in-training and at eval (the reference differs only in num_data:
+  10000 NELBO / 1000 NLL in-training, `evaluation.py:392-395,430-431`)."""
+  num_data = config.eval.num_test_data if eval else 10000
   batch_size = config.eval.batch_size
-  # cap at one epoch of the actual dataset (the reference's num_epochs=1
-  # tf.data split makes this implicit, `datasets.py:181-183`)
-  ds_size = len(getattr(eval_ds, "data", ())) or num_data
-  num_data = min(num_data, ds_size)
-  n_batches = max((num_data - 1) // batch_size + 1, 1)
+  ds_size = len(getattr(eval_ds, "data", ()))
+  if ds_size and ds_size < num_data:
+    # The reference's tfds split guarantees the full test set; a smaller
+    # dataset means a misconfigured datadir — fail loudly rather than
+    # report a "test-set bpd" computed on a fraction of it. The seeded
+    # synthetic fallback (no datadir at all) stays usable for pipeline
+    # tests, with a capped count and an explicit warning.
+    if not data_lib.is_synthetic(config):
+      raise ValueError(
+          f"eval dataset has {ds_size} images but "
+          f"eval.num_test_data={num_data}; refusing to report a partial "
+          "test-set bpd (check config.datadir)")
+    logging.warning(
+        "bpd harness: SYNTHETIC dataset (%d images) < num_data=%d; "
+        "capping. These bpds exercise the pipeline only.", ds_size,
+        num_data)
+    num_data = ds_size
   np_rng = np.random.default_rng(step)
   rng = jax.random.PRNGKey(step)
 
   jit_nelbo = jax.jit(lambda r, b: nelbo_fn(r, score_fn, flow_forward_fn, b))
   jit_nll = jax.jit(
-      lambda r, b, res: nll_fn(r, score_fn, flow_forward_fn, b,
-                               residual=res,
-                               eps_bpd=config.training.truncation_time),
+      lambda r, b, res, eps: nll_fn(r, score_fn, flow_forward_fn, b,
+                                    residual=res, eps_bpd=eps),
       static_argnums=2)
 
-  def batches():
+  def batches(n):
     it = iter(eval_ds)
-    for i in range(n_batches):
+    for i in range(max((n - 1) // batch_size + 1, 1)):
       b = next(it)
       b = (255.0 * b + np_rng.random(b.shape, dtype=np.float32)) / 256.0
       yield jnp.asarray(scaler(b))
 
-  # NELBO averaged over num_nelbo passes (`evaluation.py:400-427`).
-  nelbos, nelbos_res = [], []
+  # NELBO: num_nelbo full passes, averaged over pass-means
+  # (`evaluation.py:400-427`).
+  pass_means, pass_means_res = [], []
   for k in range(config.eval.num_nelbo):
-    for i, b in enumerate(batches()):
+    nelbos, nelbos_res = [], []
+    for i, b in enumerate(batches(num_data)):
       r = jax.random.fold_in(rng, k * 10000 + i)
       ne, ne_res = jit_nelbo(r, b)
       nelbos.append(np.asarray(ne))
       nelbos_res.append(np.asarray(ne_res))
-  nelbo = float(np.concatenate(nelbos).mean())
-  nelbo_res = float(np.concatenate(nelbos_res).mean())
-  logging.info("step: %d, NELBO: %.5f, NELBO(residual): %.5f",
-               step, nelbo, nelbo_res)
-
+    nelbos = np.concatenate(nelbos)
+    nelbos_res = np.concatenate(nelbos_res)
+    logging.info("step: %d, num samples: %d, mean nelbo bpd: %.5e, std "
+                 "nelbo bpd: %.5e", step, len(nelbos), nelbos.mean(),
+                 nelbos.std())
+    logging.info("step: %d, num samples: %d, mean nelbo_residual bpd: "
+                 "%.5e, std nelbo_residual bpd: %.5e", step,
+                 len(nelbos_res), nelbos_res.mean(), nelbos_res.std())
+    pass_means.append(float(nelbos.mean()))
+    pass_means_res.append(float(nelbos_res.mean()))
+  nelbo = float(np.mean(pass_means))
+  nelbo_res = float(np.mean(pass_means_res))
+  logging.info("step: %d, average nelbo bpd out of %d evaluations: %.5e",
+               step, len(pass_means), nelbo)
+  logging.info("step: %d, average nelbo residual bpd out of %d "
+               "evaluations: %.5e", step, len(pass_means_res), nelbo_res)
   results = {"nelbo": nelbo, "nelbo_residual": nelbo_res}
-  if eval:
-    if not config.eval.skip_nll_wrong:
-      bpds = []
-      for i, b in enumerate(batches()):
-        bpd, _, nfe = jit_nll(jax.random.fold_in(rng, 5_000_000 + i), b,
-                              False)
-        bpds.append(np.asarray(bpd))
-        logging.info("NLL(wrong) batch %d: %.5f (nfe %d)", i,
-                     float(np.asarray(bpd).mean()), int(nfe))
-      results["nll_wrong"] = float(np.concatenate(bpds).mean())
-      logging.info("step: %d, NLL wrong: %.5f", step, results["nll_wrong"])
 
+  # NLL sections run on the smaller in-training count
+  # (`evaluation.py:430-431`).
+  nll_num_data = num_data if eval else max(num_data // 10, 1)
+  # eps override: eval.truncation_time=-1 means "use 1e-5"
+  # (`evaluation.py:437-440`).
+  eps_bpd = (1e-5 if config.eval.truncation_time == -1.0
+             else config.eval.truncation_time)
+
+  def nll_section(tag, residual, eps, salt):
     bpds = []
-    for i, b in enumerate(batches()):
-      bpd, _, nfe = jit_nll(jax.random.fold_in(rng, 6_000_000 + i), b, True)
+    nfe_total = 0
+    for i, b in enumerate(batches(nll_num_data)):
+      bpd, _, nfe = jit_nll(jax.random.fold_in(rng, salt + i), b, residual,
+                            jnp.asarray(eps, jnp.float32))
       bpds.append(np.asarray(bpd))
-      logging.info("NLL(correct) batch %d: %.5f (nfe %d)", i,
-                   float(np.asarray(bpd).mean()), int(nfe))
-    results["nll_correct"] = float(np.concatenate(bpds).mean())
-    logging.info("step: %d, NLL correct: %.5f", step,
-                 results["nll_correct"])
+      nfe_total += int(nfe)
+      if eval:
+        cat = np.concatenate(bpds)
+        logging.info("step: %d, [%s] num samples: %d, mean nll bpd: %.5e, "
+                     "std nll bpd: %.5e", step, tag, len(cat), cat.mean(),
+                     cat.std())
+    bpds = np.concatenate(bpds)
+    logging.info("step: %d, [%s] num samples: %d, mean nll bpd: %.5e, std "
+                 "nll bpd: %.5e (nfe %d)", step, tag, len(bpds),
+                 bpds.mean(), bpds.std(), nfe_total)
+    return float(bpds.mean())
+
+  if not config.eval.skip_nll_wrong:
+    results["nll_wrong"] = nll_section(
+        f"NLL WRONG w/ eps={eps_bpd:.1e}", False, eps_bpd, 5_000_000)
+
+  results["nll_correct"] = nll_section(
+      f"NLL CORRECT w/ eps={eps_bpd:.1e}", True, eps_bpd, 6_000_000)
+
+  # 'NLL correct w/ eps = training eps' (`evaluation.py:478-493`).
+  if config.training.truncation_time != 1e-5:
+    results["nll_correct_train_eps"] = nll_section(
+        "NLL CORRECT w/ eps=eps", True, config.training.truncation_time,
+        7_000_000)
 
   return results

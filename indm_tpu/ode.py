@@ -74,9 +74,10 @@ def solve_rk45(fn: Callable, t0: float, t1: float, y0: jnp.ndarray,
   y0 is a flat (or any-shape) array; fn maps (scalar t, y) -> dy/dt.
   Returns (y(t1), nfe). Runs fully on device under jit.
   """
-  direction = 1.0 if t1 >= t0 else -1.0
   t0 = jnp.asarray(t0, y0.dtype)
   t1 = jnp.asarray(t1, y0.dtype)
+  # traced-friendly (t0 may be a traced eps_bpd, `evaluation.py:437-440`)
+  direction = jnp.where(t1 >= t0, 1.0, -1.0).astype(y0.dtype)
 
   f0 = fn(t0, y0)
   h_abs = _select_initial_step(fn, t0, y0, f0, direction, rtol, atol)

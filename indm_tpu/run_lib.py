@@ -306,9 +306,13 @@ def train(config, workdir, assetdir: Optional[str] = None):
       _in_training_bpd(config, sde, state, score_module, flow_model,
                        eval_ds, scaler, nelbo_fn, nll_fn, step)
 
-    if is_snapshot and config.training.snapshot_sampling:
+    # reference precedence: (snapshot-cadence AND not step0/initial) OR
+    # final step (`run_lib.py:125`)
+    if (is_snapshot or step == config.training.n_iters) \
+        and config.training.snapshot_sampling:
       _snapshot_sampling(config, sde, state, score_module, flow_model,
-                         sampling_fn, inverse_scaler, sample_dir, step)
+                         sampling_fn, inverse_scaler, sample_dir, step,
+                         assetdir)
 
   return state
 
@@ -321,25 +325,18 @@ def _unpack(config, state):
 
 def _in_training_bpd(config, sde, state, score_module, flow_model, eval_ds,
                      scaler, nelbo_fn, nll_fn, step):
-  """NELBO on a few eval batches (`run_lib.py:116-123`; the full harness
-  lives in indm_tpu.evaluation.get_bpd)."""
+  """Full bpd harness at the preemption-snapshot cadence with EMA score
+  params (`run_lib.py:116-123` calls `evaluation.get_bpd`; the EMA
+  store/copy_to/restore swap is obsoleted by reading ema_params)."""
+  from indm_tpu import evaluation
   if config.flow.model == "identity":
     score_state, flow_state = state, None
   else:
     score_state, flow_state = state
   score_fn, ff, _ = make_eval_fns(config, sde, score_state, flow_state,
-                                  score_module, flow_model,
-                                  use_ema=config.eval.score_ema)
-  rng = jax.random.PRNGKey(step)
-  it = iter(eval_ds)
-  batch = next(it)
-  np_rng = np.random.default_rng(step)
-  batch = (255.0 * batch + np_rng.random(batch.shape,
-                                         dtype=np.float32)) / 256.0
-  batch = scaler(jnp.asarray(batch))
-  nelbo, nelbo_res = nelbo_fn(rng, score_fn, ff, batch)
-  logging.info("step: %d, NELBO: %.5f, NELBO(residual): %.5f", step,
-               float(jnp.mean(nelbo)), float(jnp.mean(nelbo_res)))
+                                  score_module, flow_model, use_ema=True)
+  evaluation.get_bpd(config, eval_ds, scaler, nelbo_fn, nll_fn, score_fn,
+                     ff, step=step, eval=False)
 
 
 def make_jit_sample_round(config, sde, score_module, flow_model,
@@ -374,10 +371,12 @@ def make_jit_sample_round(config, sde, score_module, flow_model,
 
 
 def _snapshot_sampling(config, sde, state, score_module, flow_model,
-                       sampling_fn, inverse_scaler, sample_dir, step):
-  """Generate + save a snapshot grid (`run_lib.py:125-142`; full FID eval
-  lives in indm_tpu.evaluation)."""
-  from indm_tpu import sampling_io
+                       sampling_fn, inverse_scaler, sample_dir, step,
+                       assetdir=None):
+  """In-training snapshot evaluation (`run_lib.py:125-142`): ALL
+  `num_samples // batch` sampling rounds into `samples/iter_{step}/`, then
+  `compute_fid_and_is` over the cached rounds."""
+  from indm_tpu import evaluation, sampling_io
   if config.flow.model == "identity":
     score_state, flow_state = state, None
   else:
@@ -390,10 +389,19 @@ def _snapshot_sampling(config, sde, state, score_module, flow_model,
                                        use_ema=True)
   this_dir = os.path.join(sample_dir, f"iter_{step}")
   os.makedirs(this_dir, exist_ok=True)
-  rng = jax.random.PRNGKey(step + 1)
-  sampling_io.get_samples(config, flow_inverse, sample_round,
-                          step, 0, this_dir, rng=rng,
-                          temperature=config.sampling.temperature)
+  logging.info("sampling start ...")
+  num_rounds = (config.eval.num_samples - 1) // config.sampling.batch_size + 1
+  for r in range(num_rounds):
+    sampling_io.get_samples(config, flow_inverse, sample_round,
+                            step, r, this_dir,
+                            rng=jax.random.PRNGKey(step + 1 + r),
+                            temperature=config.sampling.temperature)
+  logging.info("sampling end ... computing FID ...")
+  try:
+    evaluation.compute_fid_and_is(config, this_dir, assetdir,
+                                  config.eval.num_samples)
+  except FileNotFoundError as e:  # no samples cached (shouldn't happen)
+    logging.warning("in-training FID skipped: %s", e)
 
 
 # ---------------------------------------------------------------------------

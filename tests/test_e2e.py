@@ -53,6 +53,46 @@ def test_train_loop_and_resume(tmp_path):
   assert int(state2.step) == 3  # last preemption snapshot
 
 
+def test_in_training_snapshot_runs_full_eval(tmp_path, caplog):
+  """At the snapshot step the train loop must run ALL sampling rounds +
+  compute_fid_and_is (report npz + FID log line) and the full bpd harness
+  (`/root/reference/run_lib.py:116-142`)."""
+  import logging
+
+  cfg = tiny_cfg(tmp_path)
+  cfg.training.n_iters = 2
+  cfg.training.snapshot_freq_for_preemption = 2
+  cfg.training.snapshot_sampling = True
+  cfg.eval.enable_bpd = True
+  cfg.eval.num_nelbo = 1
+  cfg.eval.batch_size = 64
+  cfg.eval.num_samples = 8
+  cfg.eval.skip_nll_wrong = True  # keep the in-training ODE cost down
+  cfg.sampling.batch_size = 8
+  cfg.sampling.num_scales = 8
+
+  # pre-seeded dataset statistics so FID doesn't feature-extract the whole
+  # synthetic train set on CPU
+  rng = np.random.default_rng(0)
+  a = rng.normal(size=(2048, 32))
+  np.savez_compressed(
+      tmp_path / "cifar10_fid_stats_clean.npz",
+      mu=rng.normal(size=2048), sigma=a @ a.T / 32 + 1e-3 * np.eye(2048))
+
+  workdir = str(tmp_path / "work")
+  with caplog.at_level(logging.INFO):
+    run_lib.train(cfg, workdir)
+
+  report = os.path.join(workdir, "samples", "iter_2", "report_all.npz")
+  assert os.path.exists(report), "in-training FID report missing"
+  with np.load(report) as z:
+    assert "fid" in z and np.isfinite(float(z["fid"]))
+    assert str(z["weights"]) == "random"  # provenance tag
+  assert "FID:" in caplog.text
+  assert "nelbo bpd" in caplog.text
+  assert "NLL CORRECT" in caplog.text
+
+
 def test_checkpoint_roundtrip(tmp_path):
   cfg = tiny_cfg(tmp_path)
   from indm_tpu.models import create_model

@@ -69,3 +69,85 @@ def test_inception_feature_pipeline_tiny():
   assert pool.shape == (4, 2048)
   assert logits.shape == (4, 1008)
   assert np.isfinite(pool).all()
+
+
+# ---------------------------------------------------------------------------
+# bpd harness (`evaluation.py:388-495` parity)
+# ---------------------------------------------------------------------------
+
+
+def _harness_setup(tmp_path, **overrides):
+  import jax
+  from indm_tpu import data as data_lib
+  from indm_tpu import run_lib
+  from indm_tpu import sde as sde_lib
+  from indm_tpu import state as state_lib
+  from indm_tpu.configs import get_config
+  from indm_tpu.models import create_model, get_score_fn
+
+  cfg = get_config("vp/CIFAR10/indm_nll")
+  cfg.flow.model = "identity"
+  cfg.data.image_size = 8
+  cfg.model.nf = 8
+  cfg.model.num_res_blocks = 1
+  cfg.model.ch_mult = (1, 1)
+  cfg.model.attn_resolutions = (4,)
+  cfg.eval.batch_size = 64
+  cfg.eval.num_nelbo = 1
+  cfg.datadir = str(tmp_path)
+  for k, v in overrides.items():
+    node, leaf = k.split(".")
+    setattr(getattr(cfg, node), leaf, v)
+
+  module, variables = create_model(cfg, jax.random.PRNGKey(0))
+  sde = sde_lib.get_sde(cfg)
+  scaler = data_lib.get_data_scaler(cfg)
+  inverse_scaler = data_lib.get_data_inverse_scaler(cfg)
+  opt = state_lib.make_optimizer(cfg)
+  _, nll_fn, nelbo_fn, _ = run_lib.get_loss_fns(
+      cfg, sde, inverse_scaler, module, None, opt, None, train=False)
+  score_fn = get_score_fn(cfg, sde, module, variables, train=False,
+                          continuous=True)
+  _, eval_ds = data_lib.get_dataset(cfg, evaluation=True)
+  return cfg, eval_ds, scaler, nelbo_fn, nll_fn, score_fn
+
+
+def test_bpd_harness_all_four_sections(tmp_path, caplog):
+  """eval.truncation_time override + the 'NLL correct w/ eps = training
+  truncation_time' fourth pass (`/root/reference/evaluation.py:437-493`)."""
+  import logging
+  from indm_tpu import evaluation
+
+  cfg, eval_ds, scaler, nelbo_fn, nll_fn, score_fn = _harness_setup(
+      tmp_path,
+      **{"training.truncation_time": 1e-4,   # != 1e-5 -> fourth pass
+         "eval.truncation_time": 1e-3,       # honored eps override
+         "eval.skip_nll_wrong": False})
+  with caplog.at_level(logging.INFO):
+    results = evaluation.get_bpd(cfg, eval_ds, scaler, nelbo_fn, nll_fn,
+                                 score_fn, None, step=0, eval=True)
+  eval_ds.close()
+  assert {"nelbo", "nelbo_residual", "nll_wrong", "nll_correct",
+          "nll_correct_train_eps"} <= set(results)
+  assert all(np.isfinite(v) for v in results.values())
+  # the eps override (1e-3, not the training 1e-4 / default 1e-5) is used
+  assert "NLL WRONG w/ eps=1.0e-03" in caplog.text
+  assert "NLL CORRECT w/ eps=1.0e-03" in caplog.text
+  assert "NLL CORRECT w/ eps=eps" in caplog.text
+
+
+def test_bpd_harness_fails_loudly_on_small_real_dataset(tmp_path):
+  """A real on-disk dataset smaller than num_test_data must raise, not
+  silently report a partial-test-set bpd."""
+  from indm_tpu import evaluation
+
+  np.savez_compressed(
+      tmp_path / "cifar10.npz",
+      train=np.zeros((8, 8, 8, 3), np.uint8),
+      test=np.zeros((4, 8, 8, 3), np.uint8))
+  cfg, eval_ds, scaler, nelbo_fn, nll_fn, score_fn = _harness_setup(
+      tmp_path, **{"eval.num_test_data": 10000})
+  with pytest.raises(ValueError, match="refusing"):
+    evaluation.get_bpd(cfg, eval_ds, scaler, nelbo_fn, nll_fn, score_fn,
+                       None, step=0, eval=True)
+  eval_ds.close()

@@ -22,6 +22,12 @@ import pytest  # noqa: E402
 # never tunnel to real hardware.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: compiles on this stack route through a
+# slow remote relay; caching makes repeated suite runs fast.
+from indm_tpu import parallel  # noqa: E402
+
+parallel.enable_compilation_cache()
+
 
 @pytest.fixture(scope="session")
 def devices():

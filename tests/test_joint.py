@@ -110,6 +110,35 @@ def test_joint_fid_step():
   assert _param_delta(fs.params, fs2.params) > 0
 
 
+@pytest.mark.parametrize("nll", [True, False], ids=["nll", "fid"])
+def test_joint_sharded_matches_single_device(nll, devices):
+  """The full joint step (two optimizers, Lipschitz converge, wolf encoder
+  BatchNorm threading) must produce identical params, buffers, and losses
+  on the 8-device mesh and on a single device (SURVEY.md §4(h))."""
+  from indm_tpu import parallel
+
+  cfg, sde, module, flow_model, ss, fs, step = build(nll=nll)
+  batch = jax.random.uniform(jax.random.PRNGKey(11), (8, 8, 8, 3)) * 2 - 1
+
+  (ss1, fs1), metrics1 = jax.jit(step)((ss, fs), batch)
+
+  mesh = parallel.get_mesh(devices)
+  state_r = parallel.replicate((ss, fs), mesh)
+  batch_s = parallel.shard_batch(np.asarray(batch), mesh)
+  pstep = parallel.jit_train_step(step, mesh, donate_state=False)
+  (ss8, fs8), metrics8 = pstep(state_r, batch_s)
+
+  for m1, m8 in zip(metrics1, metrics8):
+    np.testing.assert_allclose(np.asarray(m8), np.asarray(m1), rtol=1e-4,
+                               atol=1e-5)
+  for tree1, tree8 in ((ss1.params, ss8.params), (fs1.params, fs8.params),
+                       (fs1.buffers, fs8.buffers)):
+    for a, b in zip(jax.tree_util.tree_leaves(tree1),
+                    jax.tree_util.tree_leaves(tree8)):
+      np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
+                                 atol=1e-5)
+
+
 def test_joint_nelbo_with_flow():
   cfg, sde, module, flow_model, ss, fs, step = build(nll=True)
   inverse_scaler = lambda x: (x + 1.0) / 2.0

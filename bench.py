@@ -59,6 +59,10 @@ def main():
   cfg.flow.logdet_bf16 = bool(int(os.environ.get("BENCH_LOGDET_BF16", "1")))
   # bf16 Lipschitz-net compute with f32 master params + normalization.
   cfg.flow.mixed_precision = bool(int(os.environ.get("BENCH_FLOW_MP", "1")))
+  # fused Pallas Neumann chain (weights + derivative diagonals resident in
+  # VMEM across all sampled terms; indm_tpu/ops/neumann_pallas.py).
+  cfg.flow.logdet_pallas = bool(int(os.environ.get("BENCH_LOGDET_PALLAS",
+                                                   "1")))
 
   rng = jax.random.PRNGKey(0)
   module, variables = create_model(cfg, rng)
@@ -136,37 +140,58 @@ def main():
     }))
     return
 
-  p_step = parallel.jit_train_step(step, mesh, donate_state=True)
   batch = np.random.default_rng(0).uniform(
       -1, 1, (batch_size, 32, 32, 3)).astype(np.float32)
   batch = parallel.shard_batch(batch, mesh)
 
-  # compile + warmup
-  state, metrics = p_step(state, batch)
-  jax.block_until_ready(metrics)
+  def measure(step_fn, st):
+    p_step = parallel.jit_train_step(step_fn, mesh, donate_state=True)
+    st, metrics = p_step(st, batch)       # compile + warmup
+    jax.block_until_ready(metrics)
+    t0 = time.time()
+    for _ in range(n_steps):
+      st, metrics = p_step(st, batch)
+    # host readback, not just block_until_ready: on this relay runtime only
+    # a transfer truly synchronizes. Steps chain through `state`, so reading
+    # the final loss waits for all n_steps.
+    final_loss = float(np.asarray(
+        metrics[0] if isinstance(metrics, (tuple, list)) else metrics)
+        .mean())
+    dt = time.time() - t0
+    return n_steps / dt / jax.device_count(), final_loss
 
-  t0 = time.time()
-  for _ in range(n_steps):
-    state, metrics = p_step(state, batch)
-  # host readback, not just block_until_ready: on this relay runtime only
-  # a transfer truly synchronizes. Steps chain through `state`, so reading
-  # the final loss waits for all n_steps.
-  final_loss = float(np.asarray(
-      metrics[0] if isinstance(metrics, (tuple, list)) else metrics).mean())
-  dt = time.time() - t0
-
-  steps_per_sec = n_steps / dt
-  n_chips = jax.device_count()
-  value = steps_per_sec / n_chips
+  value, final_loss = measure(step, state)
   print(f"# final loss mean: {final_loss:.5f}", file=sys.stderr)
   kind = "joint" if flow_model is not None else "score"
-  print(json.dumps({
+  record = {
       "metric": f"indm_{cfg.training.sde[:2]}_cifar10_{kind}"
                 "_train_steps_per_sec_per_chip",
       "value": round(value, 4),
       "unit": f"steps/s/chip (batch {batch_size})",
       "vs_baseline": round(value / A100_REF_STEPS_PER_SEC, 4),
-  }))
+  }
+
+  # Reference-faithful f32 configuration measured alongside the TPU-first
+  # headline (round-1 verdict: report both as metrics, not just prose).
+  if flow_model is not None and bool(int(os.environ.get("BENCH_ALSO_F32",
+                                                        "1"))):
+    cfg.flow.logdet_bf16 = False
+    cfg.flow.mixed_precision = False
+    cfg.flow.logdet_pallas = False
+    flow_f32 = create_flow_model(cfg)
+    fs32 = state_lib.init_train_state(
+        cfg, *flow_f32.init(jax.random.PRNGKey(1)), flow_opt,
+        jax.random.PRNGKey(3))
+    ss32 = state_lib.init_train_state(
+        cfg, variables["params"],
+        {k: v for k, v in variables.items() if k != "params"},
+        score_opt, jax.random.PRNGKey(2))
+    step32 = joint_lib.make_joint_step_fn(cfg, sde, module, flow_f32,
+                                          score_opt, flow_opt, train=True)
+    v32, _ = measure(step32, parallel.replicate((ss32, fs32), mesh))
+    record["value_f32_faithful"] = round(v32, 4)
+
+  print(json.dumps(record))
 
 
 if __name__ == "__main__":

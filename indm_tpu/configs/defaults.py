@@ -134,6 +134,11 @@ def get_default_configs(dataset: str = "CIFAR10") -> ml_collections.ConfigDict:
   # bf16 compute in the Lipschitz nets (f32 master params + f32 weight
   # normalization; convs at MXU bf16 rate)
   flow.mixed_precision = False
+  # fused Pallas Neumann chain: all sampled J^T v terms execute in ONE
+  # kernel with weights + activation derivatives resident in VMEM
+  # (indm_tpu/ops/neumann_pallas.py); numerics-identical estimator, big
+  # HBM-traffic cut on TPU. Auto-falls back for unsupported net shapes.
+  flow.logdet_pallas = False
 
   config.seed = 42
   config.datadir = "."

@@ -76,6 +76,7 @@ class FlowModel:
           first_resblock=True, actnorm=config.flow.actnorm,
           unroll_terms=config.flow.get("logdet_unroll", 0) or None,
           chain_bf16=bool(config.flow.get("logdet_bf16", False)),
+          chain_pallas=bool(config.flow.get("logdet_pallas", False)),
           mixed_precision=bool(config.flow.get("mixed_precision", False)))
     else:
       # glow / macow generators built from the wolf JSON

@@ -334,6 +334,65 @@ class LipschitzNNet:
     return [c.converge(p, n_iter) if hasattr(c, "converge") else p
             for c, p in zip(self.convs, params)]
 
+  def fused_chain_ok(self) -> bool:
+    """True when the fully-fused forward+chain Pallas kernel supports this
+    net: sin activation, exactly the 3-1-3 LopConv2d geometry."""
+    return (self.act is sin_act and len(self.convs) == 3
+            and all(isinstance(c, lip.LopConv2d) for c in self.convs)
+            and self.convs[0].k == 3 and self.convs[1].k == 1
+            and self.convs[2].k == 3
+            # packing assumes narrow image channels, wide intermediate
+            and self.convs[0].in_ch < 33 <= self.convs[0].out_ch)
+
+  def chain_mats(self, params, x, h=None, dtype=None):
+    """Ingredients of the fused Pallas Neumann chain
+    (`indm_tpu.ops.neumann_pallas`): transposed normalized conv kernels and
+    activation-derivative diagonals, in application order (outermost W^T
+    first). Returns None when this net's shape isn't kernel-supported
+    (non-sin activation, non-Lop convs, kernel size not in {1, 3}).
+
+    Replicates `apply`'s forward exactly (h-conditioning, bf16 casts) to
+    capture the pre-activation values; everything here is meant to run
+    under stop_gradient."""
+    from indm_tpu.ops import neumann_pallas
+
+    if self.act is not sin_act:
+      return None
+    if not all(isinstance(c, lip.LopConv2d) and c.k in (1, 3)
+               for c in self.convs):
+      return None
+
+    def dact(a):  # d/dx of sin(2*pi*x)/(2*pi)
+      return jnp.cos(2.0 * jnp.pi * a)
+
+    if dtype is not None:
+      x = x.astype(dtype)
+    dacts_fwd = [dact(x)] if self.preact else []
+    if self.preact:
+      x = self.act(x)
+    weights_fwd = []
+    for i, (conv, p) in enumerate(zip(self.convs, params)):
+      if conv.cond_dim is not None and h is not None:
+        h_w, h_b = p["h_w"], p["h_b"]
+        if dtype is not None:
+          h_w, h_b = h_w.astype(dtype), h_b.astype(dtype)
+        x = x + (h.astype(x.dtype) @ h_w + h_b)[:, None, None, :]
+      w = conv.normalized_weight(p)
+      if dtype is not None:
+        w = w.astype(dtype)
+      weights_fwd.append(w)
+      x = lip.lipschitz_conv_apply(x, w, conv.k)
+      b = p["b"].astype(x.dtype) if dtype is not None else p["b"]
+      x = x + b
+      if i < len(self.convs) - 1:
+        dacts_fwd.append(dact(x))
+        x = self.act(x)
+
+    weights_t = [neumann_pallas.transpose_conv_kernel(w)
+                 for w in reversed(weights_fwd)]
+    dacts = list(reversed(dacts_fwd))  # [d_out, d_mid, (d_in if preact)]
+    return weights_t, dacts
+
 
 # ---------------------------------------------------------------------------
 # iResBlock (`layers/iresblock.py`)
@@ -377,7 +436,8 @@ class IResBlock:
                inverse_atol: float = 1e-5, inverse_rtol: float = 1e-5,
                inverse_max_iter: int = 1000,
                unroll_terms: Optional[int] = None,
-               chain_bf16: bool = False):
+               chain_bf16: bool = False,
+               chain_pallas: bool = False):
     self.nnet = nnet
     self.n_dist = n_dist
     self.lamb = lamb
@@ -401,6 +461,11 @@ class IResBlock:
     # estimate by O(2^-8) per term while doubling MXU throughput; the
     # differentiable path (g, the final VJP, all gradients) stays f32.
     self.chain_bf16 = chain_bf16
+    # chain_pallas: run the stop-gradient Neumann chain as ONE fused Pallas
+    # kernel (weights + activation derivatives resident in VMEM across all
+    # sampled terms — indm_tpu/ops/neumann_pallas.py). Falls back to the
+    # XLA while_loop when the nnet shape isn't kernel-supported.
+    self.chain_pallas = chain_pallas
     self._rcdf = {}
     for offset in (n_exact_terms, 20):
       if n_dist == "poisson":
@@ -472,6 +537,55 @@ class IResBlock:
 
     return coeff
 
+  def _rcdf_table(self, offset):
+    if offset in self._rcdf:
+      return self._rcdf[offset]
+    return (jnp.asarray(_poisson_rcdf_table(self.lamb, offset))
+            if self.n_dist == "poisson"
+            else jnp.asarray(_geometric_rcdf_table(self.geom_p, offset)))
+
+  def _pallas_chain(self, params_sg, x_sg, h_sg, vareps, n, offset):
+    """Fused-VMEM Neumann accumulator (indm_tpu/ops/neumann_pallas.py);
+    returns acc (f32) or None when unsupported. Interpret mode keeps the
+    path testable off-TPU.
+
+    Prefers the FULLY-fused kernel (forward sin/cos derivatives computed
+    in-kernel; the 512-wide diagonals never touch HBM); falls back to the
+    dacts-as-inputs kernel via `chain_mats`, then to None (XLA chain)."""
+    from indm_tpu.ops import neumann_pallas
+
+    dtype = jnp.bfloat16 if (self.chain_bf16 or getattr(
+        self.nnet, "mixed_precision", False)) else None
+    table = self._rcdf_table(offset)
+    eps = vareps.astype(dtype) if dtype is not None else vareps
+    interpret = jax.default_backend() != "tpu"
+    preact = getattr(self.nnet, "preact", False)
+
+    import os
+    # The fully-fused variant (forward recomputed in-kernel) measured
+    # SLOWER end-to-end on v5e than the dacts-as-inputs kernel (430 vs
+    # 315 ms flow fwd+logdet; see PERF.md) — keep it opt-in for further
+    # kernel work.
+    use_fused = os.environ.get("INDM_FUSED_CHAIN", "0") == "1"
+    if use_fused and getattr(self.nnet, "fused_chain_ok", lambda: False)():
+      fwd_mats, biases, chain_mats_t, hp = neumann_pallas.fused_chain_inputs(
+          self.nnet.convs, params_sg["nnet"], h_sg, dtype)
+      x_in = x_sg.astype(dtype) if dtype is not None else x_sg
+      return neumann_pallas.fused_neumann_chain_pallas(
+          x_in, eps, fwd_mats, biases, chain_mats_t, hp, n, offset, table,
+          preact=preact, interpret=interpret)
+
+    chain_fn = getattr(self.nnet, "chain_mats", None)
+    if chain_fn is None:
+      return None
+    mats = chain_fn(params_sg["nnet"], x_sg, h=h_sg, dtype=dtype)
+    if mats is None:
+      return None
+    weights_t, dacts = mats
+    return neumann_pallas.neumann_chain_pallas(
+        eps, dacts, weights_t, n, offset, table, preact=preact,
+        interpret=interpret)
+
   def _logdetgrad(self, params, x, h, rng, train):
     """g(x) and an estimator of logdet|d(x+g)/dx| (`iresblock.py:81-164`)."""
     b = x.shape[0]
@@ -496,6 +610,18 @@ class IResBlock:
     if train and self.neumann_grad:
       # Neumann series under stop_gradient, then ONE differentiable VJP
       # (`iresblock.py:249-258`).
+      u_acc = None
+      if self.chain_pallas and self.n_power_series is None:
+        u_acc = self._pallas_chain(params_sg, x_sg, h_sg, vareps, n,
+                                   offset)
+      if u_acc is not None:
+        u = jax.ad_checkpoint.checkpoint_name(sg(vareps + u_acc),
+                                              "neumann_u")
+        g, vjp = jax.vjp(lambda xx: self._g(params, xx, h), x)
+        (jtu,) = vjp(u)
+        logdet = jnp.sum((jtu * vareps).reshape(b, -1), axis=-1)
+        return g, logdet
+
       if self.chain_bf16:
         bf = jnp.bfloat16
         cast = lambda t: jax.tree_util.tree_map(
@@ -703,6 +829,7 @@ def build_stacked_iresblocks(in_ch: int, idim: int, n_blocks: int,
                              actnorm: bool = False,
                              unroll_terms: Optional[int] = None,
                              chain_bf16: bool = False,
+                             chain_pallas: bool = False,
                              mixed_precision: bool = False
                              ) -> SequentialFlow:
   """`StackediResBlocks` for resblock_type='resflow'
@@ -722,7 +849,8 @@ def build_stacked_iresblocks(in_ch: int, idim: int, n_blocks: int,
                          domains=domains, codomains=codomains,
                          mixed_precision=mixed_precision)
     return IResBlock(nnet, n_dist=n_dist, n_exact_terms=n_exact_terms,
-                     unroll_terms=unroll_terms, chain_bf16=chain_bf16)
+                     unroll_terms=unroll_terms, chain_bf16=chain_bf16,
+                     chain_pallas=chain_pallas)
 
   chain = []
   if actnorm:
@@ -833,6 +961,7 @@ class ResidualFlow:
                actnorm: bool = False, block_type: str = "resblock",
                unroll_terms: Optional[int] = None,
                chain_bf16: bool = False,
+               chain_pallas: bool = False,
                mixed_precision: bool = False):
     n_scale_max = 0
     hw = image_hw
@@ -854,7 +983,8 @@ class ResidualFlow:
             n_exact_terms=n_exact_terms, n_dist=n_dist, cond_dim=cond_dim,
             preact=preact, first_resblock=first_resblock and (i == 0),
             actnorm=actnorm, unroll_terms=unroll_terms,
-            chain_bf16=chain_bf16, mixed_precision=mixed_precision))
+            chain_bf16=chain_bf16, chain_pallas=chain_pallas,
+            mixed_precision=mixed_precision))
       elif block_type == "coupling":
         self.transforms.append(build_stacked_coupling_blocks(
             in_ch=c, idim=intermediate_dim, n_blocks=n_blocks[i],

@@ -1,0 +1,450 @@
+"""Fused Pallas TPU kernel for the iResBlock Neumann J^T v chain.
+
+The log-det estimator's stop-gradient Neumann series
+(`/root/reference/flow_models/resflow/layers/iresblock.py:249-258`) applies
+the transposed Jacobian of the Lipschitz net repeatedly:
+
+    J^T v = D0 · W0^T · D1 · W1^T · D2 · W2^T · v
+    u     = vareps + sum_{k=1}^{n+offset} (-1)^k coeff(k) (J^T)^k vareps
+
+where D_i are the activation-derivative diagonals (constant across terms)
+and W_i the Lipschitz-normalized conv kernels. Run term-by-term in XLA,
+every term re-reads the two [B,H,W,512] derivative tensors and round-trips
+two 512-wide intermediates through HBM — measured HBM-bound at ~21 ms/term
+on v5e (PERF.md). This kernel keeps the derivative diagonals, the weights,
+and the running vector resident in VMEM for a whole batch tile and executes
+ALL sampled terms in one invocation: the 512-wide traffic leaves HBM once
+per block instead of once per term.
+
+The chain is entirely under stop_gradient (only its OUTPUT u feeds the one
+differentiable VJP), so the kernel needs no custom VJP.
+
+Layout: NHWC tiles over the batch; 3x3 transposed convs are 9 shifted
+MXU dots on the VMEM-resident tile (the narrow-boundary trick of
+`indm_tpu/flows/lipschitz.py:72-105` applied in-kernel); the dynamic
+Russian-roulette term count (`iresblock.py:96-123`) is a `fori_loop` with
+the sampled bound read from SMEM — only the E[n]+offset sampled terms
+execute, exactly like the XLA `while_loop` path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def transpose_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
+  """HWIO forward kernel -> HWIO kernel of the transposed (VJP) conv:
+  spatial flip + in/out swap (valid for stride-1 SAME odd kernels)."""
+  return jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
+
+
+_NARROW = 33  # below this, a channel dim pads to a mostly-wasted MXU tile
+
+
+def _pack_weight(w):
+  """HWIO conv kernel -> (kind, packed 2-D/4-D array) for the in-kernel
+  matmul. Packing (transpose+reshape) happens in XLA OUTSIDE the kernel —
+  Mosaic cannot shape-cast 4-D weight vectors."""
+  kh, kw, cin, cout = w.shape
+  if kh == 1:
+    return "mat", w[0, 0]                                     # [cin, cout]
+  assert kh == 3 and kw == 3
+  if cout < _NARROW <= cin:
+    # taps packed into N: one dot at full K utilization + 9 VPU shift-adds
+    return "narrow_out", w.transpose(2, 0, 1, 3).reshape(cin, 9 * cout)
+  if cin < _NARROW <= cout:
+    # taps packed into K: the 9 shifted narrow views assemble into im2col
+    # rows via zero-extend + lane ROLLS (Mosaic cannot lane-concatenate
+    # narrow pieces, but circular rolls of the logical lane dim lower fine)
+    return "narrow_in", w.reshape(9 * cin, cout)
+  return "generic3", w
+
+
+def _apply_packed(x, wmat, kind, acc_dtype, in_kernel=True):
+  """SAME stride-1 conv of a VMEM-resident [N,H,W,Cin] tile with a packed
+  weight (the `lipschitz.py:72-105` narrow-boundary trick, in-kernel).
+  Tap convention: output[p] = sum_{dy,dx} w[dy,dx] . x[p + (dy-1, dx-1)]."""
+  n, h, ww_, cin = x.shape
+  if kind == "mat":
+    y = jnp.dot(x.reshape(-1, cin), wmat, preferred_element_type=acc_dtype)
+    return y.reshape(n, h, ww_, wmat.shape[-1])
+
+  if kind == "narrow_out":
+    cout = wmat.shape[-1] // 9
+    z = jnp.dot(x.reshape(-1, cin), wmat, preferred_element_type=acc_dtype)
+    zp = jnp.pad(z.reshape(n, h, ww_, 9 * cout),
+                 ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = None
+    for dy in range(3):
+      for dx in range(3):
+        tap = (dy * 3 + dx) * cout
+        piece = zp[:, dy:dy + h, dx:dx + ww_, tap:tap + cout]
+        y = piece if y is None else y + piece
+    return y
+
+  if kind == "narrow_in":
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patches = None
+    for dy in range(3):
+      for dx in range(3):
+        tap = dy * 3 + dx
+        piece = xp[:, dy:dy + h, dx:dx + ww_, :].reshape(-1, cin)
+        piece = jnp.pad(piece, ((0, 0), (0, 8 * cin)))      # [M, 9*cin]
+        if tap:
+          # TPU rotate supports 32-bit data only -> assemble in f32
+          roll = pltpu.roll if in_kernel else jnp.roll
+          piece = roll(piece.astype(jnp.float32), cin * tap,
+                       axis=1).astype(x.dtype)
+        patches = piece if patches is None else patches + piece
+    y = jnp.dot(patches, wmat, preferred_element_type=acc_dtype)
+    return y.reshape(n, h, ww_, wmat.shape[-1])
+
+  # generic3: pad once, 9 accumulated dots
+  xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+  y = None
+  for dy in range(3):
+    for dx in range(3):
+      xs = xp[:, dy:dy + h, dx:dx + ww_, :].reshape(-1, cin)
+      t = jnp.dot(xs, wmat[dy, dx], preferred_element_type=acc_dtype)
+      y = t if y is None else y + t
+  return y.reshape(n, h, ww_, wmat.shape[-1])
+
+
+def _conv_same(x, w, acc_dtype):
+  """Oracle-path SAME conv on HWIO weights (used by neumann_chain_ref)."""
+  kind, wmat = _pack_weight(w)
+  return _apply_packed(x, wmat, kind, acc_dtype, in_kernel=False)
+
+
+def neumann_chain_ref(vareps, dacts, weights_t, n, offset: int, rcdf_table):
+  """Pure-jnp oracle with the kernel's exact math (CPU fallback + tests).
+  Returns acc = sum_k (-1)^k coeff(k) (J^T)^k vareps in float32 (the caller
+  adds the f32 vareps).
+
+  dacts/weights_t are in APPLICATION order (outermost W^T first):
+  t = W_t[0](v); t *= dacts[0]; t = W_t[1](t); t *= dacts[1]; ...
+  len(dacts) == len(weights_t) when the block is pre-activated, else
+  len(weights_t) - 1.
+  """
+  f32 = jnp.float32
+
+  def jt(v):
+    t = v
+    for i, w in enumerate(weights_t):
+      t = _conv_same(t, w, f32).astype(v.dtype)
+      if i < len(dacts):
+        t = t * dacts[i]
+    return t
+
+  n_pow = n + offset
+
+  def body(carry):
+    k, v, acc = carry
+    v = jt(v)
+    sign = 1.0 - 2.0 * (k % 2).astype(f32)
+    coeff = (n >= k - offset).astype(f32) / rcdf_table[
+        jnp.clip(k, 0, rcdf_table.shape[0] - 1)]
+    acc = acc + sign * coeff * v.astype(f32)
+    return k + 1, v, acc
+
+  _, _, acc = jax.lax.while_loop(
+      lambda c: c[0] <= n_pow, body,
+      (jnp.asarray(1, jnp.int32), vareps,
+       jnp.zeros(vareps.shape, f32)))
+  return acc
+
+
+def _pick_batch_tile(b: int, hw: int) -> int:
+  """Largest divisor of b with tile*hw <= 1024 rows: the live set per grid
+  cell (double-buffered d1/d2 in bf16, one f32 512-wide intermediate, one
+  padded shift buffer, weights) must stay inside the ~16 MB VMEM scope."""
+  bt = max(1, min(b, 1024 // max(hw, 1)))
+  while b % bt:
+    bt -= 1
+  return bt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offset", "preact", "interpret", "batch_tile"))
+def neumann_chain_pallas(vareps, dacts, weights_t, n, offset: int,
+                         rcdf_table, preact: bool = True,
+                         batch_tile: Optional[int] = None,
+                         interpret: bool = False):
+  """acc = sum_k (-1)^k coeff(k) (J^T)^k vareps, fused on-chip.
+
+  vareps:    [B, H, W, C] (compute dtype; bf16 for the fast chain)
+  dacts:     application-order derivative diagonals
+             ([d_out, d_mid, (d_in if preact)]), shapes [B, H, W, *]
+  weights_t: TRANSPOSED conv kernels (see `transpose_conv_kernel`),
+             application order, HWIO, k in {1, 3}
+  n:         [] int32 — sampled Russian-roulette n (traced)
+  rcdf_table:[T] f32 — P(N >= k - offset) table, indexed by k
+  Returns acc [B, H, W, C] float32 (caller adds the f32 vareps for u).
+  """
+  b, h, w, c = vareps.shape
+  hw = h * w
+  bt = batch_tile or _pick_batch_tile(b, hw)
+  grid = (b // bt,)
+  nd = len(dacts)
+  compute_dtype = vareps.dtype
+  f32 = jnp.float32
+
+  packed = [_pack_weight(wt) for wt in weights_t]
+  kinds = tuple(k for k, _ in packed)          # static dispatch
+  wmats = [m for _, m in packed]
+
+  def body(n_ref, table_ref, eps_ref, *refs):
+    dact_refs = refs[:nd]
+    w_refs = refs[nd:nd + len(wmats)]
+    out_ref = refs[-1]
+
+    eps = eps_ref[:]
+    n_val = n_ref[0, 0]
+    n_pow = n_val + offset
+    # dots accumulate f32 (Mosaic requires 32-bit matmul acc) and round to
+    # the chain compute dtype right away — the same precision contract as
+    # the bf16 jax.vjp chain.
+
+    def jt(v):
+      t = v
+      for i, wr in enumerate(w_refs):
+        t = _apply_packed(t, wr[:], kinds[i], f32).astype(compute_dtype)
+        if i < nd:
+          t = t * dact_refs[i][:]
+      return t
+
+    def term(k, carry):
+      v, acc = carry
+      v = jt(v)
+      sign = 1.0 - 2.0 * (k % 2).astype(f32)
+      coeff = (n_val >= k - offset).astype(f32) / table_ref[0, k]
+      return v, acc + sign * coeff * v.astype(f32)
+
+    _, acc = jax.lax.fori_loop(
+        1, n_pow + 1, term,
+        (eps, jnp.zeros((bt, h, w, c), f32)), unroll=False)
+    out_ref[:] = acc
+
+  dact_specs = [
+      pl.BlockSpec((bt, h, w, d.shape[-1]), lambda i: (i, 0, 0, 0),
+                   memory_space=pltpu.VMEM) for d in dacts]
+  w_specs = [
+      pl.BlockSpec(m.shape, (lambda nd_: lambda i: (0,) * nd_)(m.ndim),
+                   memory_space=pltpu.VMEM)
+      for m in wmats]
+
+  return pl.pallas_call(
+      body,
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((1, 1), lambda i: (0, 0),
+                       memory_space=pltpu.SMEM),   # n
+          pl.BlockSpec((1, rcdf_table.shape[-1]), lambda i: (0, 0),
+                       memory_space=pltpu.SMEM),   # rcdf table
+          pl.BlockSpec((bt, h, w, c), lambda i: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM),   # vareps
+          *dact_specs,
+          *w_specs,
+      ],
+      out_specs=pl.BlockSpec((bt, h, w, c), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
+      compiler_params=pltpu.CompilerParams(
+          # batch cells are independent -> let Mosaic pipeline DMA/compute
+          dimension_semantics=("parallel",)),
+      interpret=interpret,
+  )(n.reshape(1, 1).astype(jnp.int32),
+    jnp.asarray(rcdf_table, f32).reshape(1, -1), vareps, *dacts, *wmats)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused variant: forward activations + Neumann chain in ONE kernel.
+#
+# The chain needs the activation-derivative diagonals cos(2*pi*z_i); the
+# `chain_mats` route computes them with an extra XLA forward whose narrow
+# (C=3/12) NHWC convs XLA lays out batch-minor — measured ~2 ms per
+# layout-thrashed fusion on v5e (xprof), ~86 ms/step of pure overhead.
+# Everything on this path is stop_gradient, so the whole computation can
+# live in one kernel: per batch tile, run the 3-1-3 Lipschitz net forward
+# (sin activations in-VMEM, derivative diagonals NEVER touch HBM), then all
+# sampled Neumann terms. Only x, the h-projection, the packed weights, and
+# acc cross HBM.
+# ---------------------------------------------------------------------------
+
+
+def _sin_act(z):
+  # transcendentals legalize in f32 only on the VPU
+  zf = z.astype(jnp.float32)
+  return (jnp.sin(2.0 * jnp.pi * zf) / jnp.pi * 0.5).astype(z.dtype)
+
+
+def _sin_dact(z):
+  zf = z.astype(jnp.float32)
+  return jnp.cos(2.0 * jnp.pi * zf).astype(z.dtype)
+
+
+def fused_chain_inputs(convs, params, h, dtype):
+  """XLA-side packing for `fused_neumann_chain_pallas` from a 3-1-3
+  LopConv2d list (LipschitzNNet layout). Returns (fwd_mats, biases, bwd
+  mats, hp) — all weights Lipschitz-normalized exactly like `apply`."""
+  w_norm = []
+  for conv, p in zip(convs, params):
+    w = conv.normalized_weight(p)
+    if dtype is not None:
+      w = w.astype(dtype)
+    w_norm.append(w)
+  b = [p["b"].astype(dtype) if dtype is not None else p["b"]
+       for p in params]
+
+  c = w_norm[0].shape[2]
+  idim = w_norm[0].shape[3]
+  # forward: W0 narrow_in [9C, idim]; W1 1x1 [idim, idim] (W2 not needed —
+  # the chain only uses d-diagonals of z1/z2)
+  f0 = w_norm[0].reshape(9 * c, idim)
+  f1 = w_norm[1][0, 0]
+  # chain (transposed, application order): T(W2) narrow_in [9C, idim],
+  # T(W1) [idim, idim], T(W0) narrow_out [idim, 9C]
+  w2t = transpose_conv_kernel(w_norm[2])        # [3,3,C,idim]
+  w1t = w_norm[1][0, 0].T
+  w0t = transpose_conv_kernel(w_norm[0])        # [3,3,idim,C]
+  b2t = w2t.reshape(9 * c, idim)
+  b0t = w0t.transpose(2, 0, 1, 3).reshape(idim, 9 * c)
+
+  hp = None
+  mid = convs[1]
+  if mid.cond_dim is not None and h is not None:
+    h_w, h_b = params[1]["h_w"], params[1]["h_b"]
+    if dtype is not None:
+      h_w, h_b = h_w.astype(dtype), h_b.astype(dtype)
+    hp = h.astype(h_w.dtype) @ h_w + h_b        # [B, idim]
+  return (f0, f1), (b[0], b[1]), (b2t, w1t, b0t), hp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offset", "preact", "interpret", "batch_tile"))
+def fused_neumann_chain_pallas(x, vareps, fwd_mats, biases, chain_mats_t,
+                               hp, n, offset: int, rcdf_table,
+                               preact: bool = True,
+                               batch_tile: Optional[int] = None,
+                               interpret: bool = False):
+  """acc = sum_k (-1)^k coeff(k) (J^T)^k vareps with the activation
+  derivatives computed IN-KERNEL from the block input x.
+
+  x, vareps: [B, H, W, C] (compute dtype)
+  fwd_mats:  (W0 packed narrow_in [9C, idim], W1 [idim, idim])
+  biases:    (b0 [idim], b1 [idim])
+  chain_mats_t: (T(W2) narrow_in [9C, idim], T(W1) [idim, idim],
+                 T(W0) narrow_out [idim, 9C])
+  hp:        [B, idim] h-conditioning projection for the middle conv, or
+             None
+  Returns acc [B, H, W, C] float32.
+  """
+  b, h, w, c = x.shape
+  hw = h * w
+  bt = batch_tile or _pick_batch_tile(b, hw)
+  grid = (b // bt,)
+  compute_dtype = x.dtype
+  f32 = jnp.float32
+  f0, f1 = fwd_mats
+  b0, b1 = biases
+  w2t, w1t, w0t = chain_mats_t
+  has_hp = hp is not None
+
+  def body(n_ref, table_ref, x_ref, eps_ref, *refs):
+    if has_hp:
+      hp_ref, refs = refs[0], refs[1:]
+    else:
+      hp_ref = None
+    (f0_ref, f1_ref, b0_ref, b1_ref, w2t_ref, w1t_ref, w0t_ref,
+     out_ref) = refs
+
+    xt = x_ref[:]
+    eps = eps_ref[:]
+    n_val = n_ref[0, 0]
+    n_pow = n_val + offset
+
+    # ---- forward (stop-gradient): derivative diagonals stay in VMEM ----
+    if preact:
+      d0 = _sin_dact(xt)
+      s = _sin_act(xt)
+    else:
+      d0 = None
+      s = xt
+    z1 = _apply_packed(s, f0_ref[:], "narrow_in", f32).astype(compute_dtype)
+    z1 = z1 + b0_ref[:]
+    d1 = _sin_dact(z1)
+    s1 = _sin_act(z1)
+    if has_hp:
+      s1 = s1 + hp_ref[:][:, :, None, :]       # [bt,1,idim]->[bt,1,1,idim]
+    z2 = _apply_packed(s1, f1_ref[:], "mat", f32).astype(compute_dtype)
+    z2 = z2 + b1_ref[:]
+    d2 = _sin_dact(z2)
+
+    # ---- Neumann chain ----
+    def jt(v):
+      t = _apply_packed(v, w2t_ref[:], "narrow_in",
+                        f32).astype(compute_dtype)
+      t = t * d2
+      t = _apply_packed(t, w1t_ref[:], "mat", f32).astype(compute_dtype)
+      t = t * d1
+      t = _apply_packed(t, w0t_ref[:], "narrow_out",
+                        f32).astype(compute_dtype)
+      if d0 is not None:
+        t = t * d0
+      return t
+
+    def term(k, carry):
+      v, acc = carry
+      v = jt(v)
+      sign = 1.0 - 2.0 * (k % 2).astype(f32)
+      coeff = (n_val >= k - offset).astype(f32) / table_ref[0, k]
+      return v, acc + sign * coeff * v.astype(f32)
+
+    _, acc = jax.lax.fori_loop(
+        1, n_pow + 1, term,
+        (eps, jnp.zeros((bt, h, w, c), f32)), unroll=False)
+    out_ref[:] = acc
+
+  tile4 = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+  full = lambda m: pl.BlockSpec(m.shape, (lambda nd_: lambda i:
+                                          (0,) * nd_)(m.ndim),
+                                memory_space=pltpu.VMEM)
+  in_specs = [
+      pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+      pl.BlockSpec((1, rcdf_table.shape[-1]), lambda i: (0, 0),
+                   memory_space=pltpu.SMEM),
+      tile4((bt, h, w, c)),                                   # x
+      tile4((bt, h, w, c)),                                   # vareps
+  ]
+  args = [n.reshape(1, 1).astype(jnp.int32),
+          jnp.asarray(rcdf_table, f32).reshape(1, -1), x, vareps]
+  if has_hp:
+    # [B,1,idim] so the block's trailing dims satisfy the (8,128) tiling
+    in_specs.append(pl.BlockSpec((bt, 1, hp.shape[-1]),
+                                 lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(hp.reshape(b, 1, hp.shape[-1]))
+  for m in (f0, f1, b0.reshape(1, -1), b1.reshape(1, -1), w2t, w1t, w0t):
+    in_specs.append(full(m))
+    args.append(m)
+
+  return pl.pallas_call(
+      body,
+      grid=grid,
+      in_specs=in_specs,
+      out_specs=tile4((bt, h, w, c)),
+      out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("parallel",)),
+      interpret=interpret,
+  )(*args)

@@ -29,6 +29,7 @@ def main():
   cfg.flow.logdet_unroll = int(os.environ.get("PF_UNROLL", 8))
   cfg.flow.logdet_bf16 = bool(int(os.environ.get("PF_BF16", "1")))
   cfg.flow.mixed_precision = bool(int(os.environ.get("PF_MP", "1")))
+  cfg.flow.logdet_pallas = bool(int(os.environ.get("PF_PALLAS", "0")))
 
   fm = create_flow_model(cfg)
   params, buffers = fm.init(jax.random.PRNGKey(0))
@@ -50,15 +51,19 @@ def main():
       "fwd+logdet": jax.jit(fwd_logdet),
       "grad": jax.jit(jax.grad(fwd_logdet)),
   }
+  def sync(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(np.asarray(leaf).reshape(-1)[0])   # host readback truly syncs
+
   for name, fn in variants.items():
-    out = fn(params)
-    jax.block_until_ready(out)
+    sync(fn(params))
     t0 = time.time()
-    n = 5
+    n = int(os.environ.get("PF_REPS", 5))
+    out = None
     for _ in range(n):
       out = fn(params)
-    jax.block_until_ready(out)
-    print(f"{name:12s}: {(time.time() - t0) / n * 1e3:8.1f} ms")
+    sync(out)
+    print(f"{name:12s}: {(time.time() - t0) / n * 1e3:8.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -182,9 +182,11 @@ def main():
     fs32 = state_lib.init_train_state(
         cfg, *flow_f32.init(jax.random.PRNGKey(1)), flow_opt,
         jax.random.PRNGKey(3))
+    # fresh model arrays: the first measurement DONATED the originals
+    _, variables32 = create_model(cfg, jax.random.PRNGKey(0))
     ss32 = state_lib.init_train_state(
-        cfg, variables["params"],
-        {k: v for k, v in variables.items() if k != "params"},
+        cfg, variables32["params"],
+        {k: v for k, v in variables32.items() if k != "params"},
         score_opt, jax.random.PRNGKey(2))
     step32 = joint_lib.make_joint_step_fn(cfg, sde, module, flow_f32,
                                           score_opt, flow_opt, train=True)

@@ -139,6 +139,10 @@ def get_default_configs(dataset: str = "CIFAR10") -> ml_collections.ConfigDict:
   # (indm_tpu/ops/neumann_pallas.py); numerics-identical estimator, big
   # HBM-traffic cut on TPU. Auto-falls back for unsupported net shapes.
   flow.logdet_pallas = False
+  # remat policy: also save the Lipschitz-net pre-activations so the
+  # backward skips the sin-heavy forward recompute (~2 GB extra HBM at the
+  # flagship geometry; off = reference remat behavior)
+  flow.remat_save_preacts = False
 
   config.seed = 42
   config.datadir = "."

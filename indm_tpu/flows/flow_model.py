@@ -77,7 +77,8 @@ class FlowModel:
           unroll_terms=config.flow.get("logdet_unroll", 0) or None,
           chain_bf16=bool(config.flow.get("logdet_bf16", False)),
           chain_pallas=bool(config.flow.get("logdet_pallas", False)),
-          mixed_precision=bool(config.flow.get("mixed_precision", False)))
+          mixed_precision=bool(config.flow.get("mixed_precision", False)),
+          save_preacts=bool(config.flow.get("remat_save_preacts", False)))
     else:
       # glow / macow generators built from the wolf JSON
       # (`wolf generator.py:106-108`, Flow.by_name registry).

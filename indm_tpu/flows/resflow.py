@@ -325,6 +325,10 @@ class LipschitzNNet:
       x = conv.apply(p, x, h=h if conv.cond_dim is not None else None,
                      dtype=dtype)
       if i < len(self.convs) - 1:
+        # named so the scan remat policy can OPTIONALLY keep the
+        # pre-activations (skips the sin-heavy forward recompute in the
+        # backward at ~2 GB HBM for the flagship; flow.remat_save_preacts)
+        x = jax.ad_checkpoint.checkpoint_name(x, "lip_preact")
         x = self.act(x)
     return x.astype(jnp.float32) if dtype is not None else x
 
@@ -767,10 +771,12 @@ class ScannedIResBlocks:
   without it the joint step needs ~30 GB of scan-stacked activations at
   batch 128 and cannot fit a 16 GB v5e chip."""
 
-  def __init__(self, block: IResBlock, n: int, remat: bool = True):
+  def __init__(self, block: IResBlock, n: int, remat: bool = True,
+               save_preacts: bool = False):
     self.block = block
     self.n = n
     self.remat = remat
+    self.save_preacts = save_preacts
 
   def init(self, rng):
     keys = jax.random.split(rng, self.n)
@@ -797,9 +803,11 @@ class ScannedIResBlocks:
       # backward recompute skips the stop-gradient VJP chain entirely;
       # everything else (the 512-wide Lipschitz-net intermediates)
       # rematerializes.
+      names = ("neumann_u", "lip_preact") if self.save_preacts \
+          else ("neumann_u",)
       body = jax.checkpoint(
           body,
-          policy=jax.checkpoint_policies.save_only_these_names("neumann_u"))
+          policy=jax.checkpoint_policies.save_only_these_names(*names))
     (x, lp), _ = jax.lax.scan(body, (x, lp0), (params, keys))
     return x, (lp if has_logp else None)
 
@@ -830,7 +838,8 @@ def build_stacked_iresblocks(in_ch: int, idim: int, n_blocks: int,
                              unroll_terms: Optional[int] = None,
                              chain_bf16: bool = False,
                              chain_pallas: bool = False,
-                             mixed_precision: bool = False
+                             mixed_precision: bool = False,
+                             save_preacts: bool = False
                              ) -> SequentialFlow:
   """`StackediResBlocks` for resblock_type='resflow'
   (`resflow_.py:337-518`). Homogeneous runs of blocks are folded into a
@@ -867,7 +876,8 @@ def build_stacked_iresblocks(in_ch: int, idim: int, n_blocks: int,
     if rest == 1:
       chain.append(make_block(preact))
     elif rest > 1:
-      chain.append(ScannedIResBlocks(make_block(preact), rest))
+      chain.append(ScannedIResBlocks(make_block(preact), rest,
+                                     save_preacts=save_preacts))
   if squeeze:
     chain.append(SqueezeLayer(2))
   return SequentialFlow(chain)
@@ -962,7 +972,8 @@ class ResidualFlow:
                unroll_terms: Optional[int] = None,
                chain_bf16: bool = False,
                chain_pallas: bool = False,
-               mixed_precision: bool = False):
+               mixed_precision: bool = False,
+               save_preacts: bool = False):
     n_scale_max = 0
     hw = image_hw
     while hw >= 4:
@@ -984,7 +995,7 @@ class ResidualFlow:
             preact=preact, first_resblock=first_resblock and (i == 0),
             actnorm=actnorm, unroll_terms=unroll_terms,
             chain_bf16=chain_bf16, chain_pallas=chain_pallas,
-            mixed_precision=mixed_precision))
+            mixed_precision=mixed_precision, save_preacts=save_preacts))
       elif block_type == "coupling":
         self.transforms.append(build_stacked_coupling_blocks(
             in_ch=c, idim=intermediate_dim, n_blocks=n_blocks[i],

@@ -30,7 +30,6 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
   except Exception:
     pass
-  import jax.numpy as jnp
   import numpy as np
 
   from indm_tpu import joint as joint_lib

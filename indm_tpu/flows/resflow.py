@@ -22,7 +22,7 @@ TPU-first choices:
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.ad_checkpoint

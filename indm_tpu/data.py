@@ -23,7 +23,7 @@ import os
 import pickle
 import queue
 import threading
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np
@@ -250,9 +250,23 @@ class EpochIterator:
 
   def __init__(self, data: np.ndarray, batch_size: int, shuffle: bool = True,
                random_flip: bool = True, repeat: bool = True, seed: int = 0,
-               prefetch: int = 2):
+               prefetch: int = 2, shard: Optional[Tuple[int, int]] = None):
+    # shard=(process_id, num_processes): multi-host per-process slice —
+    # every process draws the SAME seeded epoch permutation of
+    # `batch_size` global indices and keeps only its contiguous
+    # [pid*local, (pid+1)*local) part, so the union over processes is
+    # exactly the reference's global batch (indm_tpu.parallel
+    # host_local_slice). Yielded batches are local (batch_size //
+    # num_processes examples).
     self.data = data
     self.batch_size = batch_size
+    self.shard = shard
+    if shard is not None:
+      pid, nproc = shard
+      if batch_size % nproc != 0:
+        raise ValueError(f"global batch {batch_size} must divide process "
+                         f"count {nproc}")
+      assert 0 <= pid < nproc
     self.shuffle = shuffle
     self.random_flip = random_flip
     self.repeat = repeat
@@ -274,6 +288,10 @@ class EpochIterator:
       nb = len(order) // self.batch_size  # drop_remainder
       for i in range(nb):
         idx = order[i * self.batch_size:(i + 1) * self.batch_size]
+        if self.shard is not None:
+          pid, nproc = self.shard
+          local = self.batch_size // nproc
+          idx = idx[pid * local:(pid + 1) * local]
         # fused C++ gather+flip+normalize when the native loader built
         batch = native.fill_batch(self.data, idx, seed=batch_seed,
                                   random_flip=self.random_flip)
@@ -292,6 +310,20 @@ class EpochIterator:
 
   def __iter__(self):
     return self
+
+  def epoch(self):
+    """Deterministic epoch-start pass: yields sequential batches from
+    data[0], no shuffle/flip, cycling at the end. The reference's bpd
+    harness makes a fresh `iter(tf_ds)` per section, restarting the test
+    set from the start (`evaluation.py:400-493`); the threaded queue of
+    THIS iterator is a single stream, so sections must use this instead to
+    see identical images in identical order."""
+    i = 0
+    n = len(self.data)
+    while True:
+      idx = np.arange(i, i + self.batch_size) % n
+      yield self.data[idx].astype(np.float32) / 255.0
+      i = (i + self.batch_size) % n
 
   def __next__(self) -> np.ndarray:
     item = self.q.get()
@@ -320,11 +352,15 @@ def get_dataset(config, evaluation: bool = False):
         f"Batch size {batch_size} must be divisible by device count "
         f"{n_dev} (`datasets.py:174-176`).")
   train, test = load_arrays(config)
+  # multi-host: every process feeds its own contiguous shard of the
+  # global batch (seeded identically so permutations agree across hosts)
+  shard = ((jax.process_index(), jax.process_count())
+           if jax.process_count() > 1 else None)
   train_it = EpochIterator(train, batch_size, shuffle=True,
                            random_flip=config.data.random_flip, repeat=True,
-                           seed=config.seed)
+                           seed=config.seed, shard=shard)
   eval_it = EpochIterator(test, batch_size, shuffle=False, random_flip=False,
-                          repeat=True, seed=config.seed + 1)
+                          repeat=True, seed=config.seed + 1, shard=shard)
   return train_it, eval_it
 
 

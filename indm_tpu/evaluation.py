@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 from typing import Optional, Tuple
 
 import jax
@@ -202,20 +203,24 @@ def get_bpd(config, eval_ds, scaler, nelbo_fn, nll_fn, score_fn,
   batch_size = config.eval.batch_size
   ds_size = len(getattr(eval_ds, "data", ()))
   if ds_size and ds_size < num_data:
-    # The reference's tfds split guarantees the full test set; a smaller
-    # dataset means a misconfigured datadir — fail loudly rather than
-    # report a "test-set bpd" computed on a fraction of it. The seeded
-    # synthetic fallback (no datadir at all) stays usable for pipeline
-    # tests, with a capped count and an explicit warning.
-    if not data_lib.is_synthetic(config):
+    # At eval=True the count is the explicitly-configured
+    # eval.num_test_data: a smaller real dataset means a misconfigured
+    # datadir — fail loudly rather than report a "test-set bpd" computed on
+    # a fraction of it. In-training (eval=False) the 10000 is a hardcoded
+    # reference default (`evaluation.py:392-395`); real datasets with
+    # smaller test splits (e.g. the image-folder 95/5 split) must not crash
+    # training at the first snapshot — warn and cap, like the reference's
+    # self-healing tf.data iterator effectively does. The seeded synthetic
+    # fallback always caps.
+    if eval and not data_lib.is_synthetic(config):
       raise ValueError(
           f"eval dataset has {ds_size} images but "
           f"eval.num_test_data={num_data}; refusing to report a partial "
           "test-set bpd (check config.datadir)")
     logging.warning(
-        "bpd harness: SYNTHETIC dataset (%d images) < num_data=%d; "
-        "capping. These bpds exercise the pipeline only.", ds_size,
-        num_data)
+        "bpd harness: %s dataset (%d images) < num_data=%d; capping.",
+        "SYNTHETIC" if data_lib.is_synthetic(config) else "on-disk",
+        ds_size, num_data)
     num_data = ds_size
   np_rng = np.random.default_rng(step)
   rng = jax.random.PRNGKey(step)
@@ -227,7 +232,10 @@ def get_bpd(config, eval_ds, scaler, nelbo_fn, nll_fn, score_fn,
       static_argnums=2)
 
   def batches(n):
-    it = iter(eval_ds)
+    # fresh epoch-start pass per section: all four bpd sections must see
+    # the SAME images in the SAME (deterministic) order, as the reference's
+    # per-section `iter(tf_ds)` restart guarantees (`evaluation.py:400-493`)
+    it = eval_ds.epoch() if hasattr(eval_ds, "epoch") else iter(eval_ds)
     for i in range(max((n - 1) // batch_size + 1, 1)):
       b = next(it)
       b = (255.0 * b + np_rng.random(b.shape, dtype=np.float32)) / 256.0
@@ -235,6 +243,7 @@ def get_bpd(config, eval_ds, scaler, nelbo_fn, nll_fn, score_fn,
 
   # NELBO: num_nelbo full passes, averaged over pass-means
   # (`evaluation.py:400-427`).
+  t_nelbo = time.time()
   pass_means, pass_means_res = [], []
   for k in range(config.eval.num_nelbo):
     nelbos, nelbos_res = [], []
@@ -259,6 +268,11 @@ def get_bpd(config, eval_ds, scaler, nelbo_fn, nll_fn, score_fn,
                step, len(pass_means), nelbo)
   logging.info("step: %d, average nelbo residual bpd out of %d "
                "evaluations: %.5e", step, len(pass_means_res), nelbo_res)
+  # per-section wall-clock: the in-training snapshot runs this harness at
+  # the preemption cadence; an unexplained multi-hour stall should be
+  # diagnosable from stdout.txt alone.
+  logging.info("step: %d, [NELBO x%d] section wall-clock: %.1fs", step,
+               config.eval.num_nelbo, time.time() - t_nelbo)
   results = {"nelbo": nelbo, "nelbo_residual": nelbo_res}
 
   # NLL sections run on the smaller in-training count
@@ -270,6 +284,7 @@ def get_bpd(config, eval_ds, scaler, nelbo_fn, nll_fn, score_fn,
              else config.eval.truncation_time)
 
   def nll_section(tag, residual, eps, salt):
+    t_section = time.time()
     bpds = []
     nfe_total = 0
     for i, b in enumerate(batches(nll_num_data)):
@@ -286,6 +301,8 @@ def get_bpd(config, eval_ds, scaler, nelbo_fn, nll_fn, score_fn,
     logging.info("step: %d, [%s] num samples: %d, mean nll bpd: %.5e, std "
                  "nll bpd: %.5e (nfe %d)", step, tag, len(bpds),
                  bpds.mean(), bpds.std(), nfe_total)
+    logging.info("step: %d, [%s] section wall-clock: %.1fs", step, tag,
+                 time.time() - t_section)
     return float(bpds.mean())
 
   if not config.eval.skip_nll_wrong:

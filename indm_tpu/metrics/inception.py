@@ -204,11 +204,29 @@ def random_params(seed: int = 0):
   return _MODULE.init(jax.random.PRNGKey(seed), x, train=False)
 
 
+# Provenance of the params most recently resolved by load_params /
+# set_weights_source. weights_source() reports THIS (when set) rather than
+# re-deriving from the environment, so a caller who loads custom params (or
+# one who passes params= explicitly after announcing their source) gets an
+# accurate provenance tag in FID reports.
+_LAST_SOURCE: Optional[str] = None
+
+
+def set_weights_source(source: str) -> None:
+  """Record the provenance of externally-constructed Inception params so
+  subsequent FID reports tag them correctly."""
+  global _LAST_SOURCE
+  _LAST_SOURCE = source
+
+
 def weights_source(path: Optional[str] = None) -> str:
   """Provenance string for FID reports: the resolved weight-file path, or
   'random' when the deterministic fallback is in use. Every FID/IS/KID
   report carries this so random-weight pipeline numbers can never be
-  mistaken for real FIDs."""
+  mistaken for real FIDs. Prefers the source actually recorded at
+  load_params time over env-var re-derivation."""
+  if path is None and _LAST_SOURCE is not None:
+    return _LAST_SOURCE
   path = path or os.environ.get("INDM_INCEPTION_WEIGHTS", "")
   if path and os.path.exists(path):
     return os.path.abspath(path)
@@ -218,8 +236,10 @@ def weights_source(path: Optional[str] = None) -> str:
 def load_params(path: Optional[str] = None):
   """Load converted weights (.npz of flattened '/'-joined keys) or fall back
   to deterministic random weights."""
+  global _LAST_SOURCE
   path = path or os.environ.get("INDM_INCEPTION_WEIGHTS", "")
   if not path or not os.path.exists(path):
+    _LAST_SOURCE = "random"
     return random_params()
   import flax.serialization
   template = jax.eval_shape(
@@ -230,6 +250,7 @@ def load_params(path: Optional[str] = None):
   variables = flax.serialization.from_bytes(template, data)
   variables = jax.tree_util.tree_map(jnp.asarray, variables)
   logging.info("InceptionV3 weights loaded from %s", path)
+  _LAST_SOURCE = os.path.abspath(path)
   return variables
 
 

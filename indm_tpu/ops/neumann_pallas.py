@@ -224,7 +224,11 @@ def neumann_chain_pallas(vareps, dacts, weights_t, n, offset: int,
       v, acc = carry
       v = jt(v)
       sign = 1.0 - 2.0 * (k % 2).astype(f32)
-      coeff = (n_val >= k - offset).astype(f32) / table_ref[0, k]
+      # index clamped like the XLA path's jnp.clip: a sampled n with
+      # n + offset > table length must degrade gracefully, not read
+      # out-of-bounds SMEM
+      coeff = (n_val >= k - offset).astype(f32) / table_ref[
+          0, jnp.minimum(k, table_len - 1)]
       return v, acc + sign * coeff * v.astype(f32)
 
     _, acc = jax.lax.fori_loop(
@@ -232,6 +236,7 @@ def neumann_chain_pallas(vareps, dacts, weights_t, n, offset: int,
         (eps, jnp.zeros((bt, h, w, c), f32)), unroll=False)
     out_ref[:] = acc
 
+  table_len = rcdf_table.shape[-1]
   dact_specs = [
       pl.BlockSpec((bt, h, w, d.shape[-1]), lambda i: (i, 0, 0, 0),
                    memory_space=pltpu.VMEM) for d in dacts]
@@ -405,7 +410,8 @@ def fused_neumann_chain_pallas(x, vareps, fwd_mats, biases, chain_mats_t,
       v, acc = carry
       v = jt(v)
       sign = 1.0 - 2.0 * (k % 2).astype(f32)
-      coeff = (n_val >= k - offset).astype(f32) / table_ref[0, k]
+      coeff = (n_val >= k - offset).astype(f32) / table_ref[
+          0, jnp.minimum(k, table_len - 1)]
       return v, acc + sign * coeff * v.astype(f32)
 
     _, acc = jax.lax.fori_loop(
@@ -413,6 +419,7 @@ def fused_neumann_chain_pallas(x, vareps, fwd_mats, biases, chain_mats_t,
         (eps, jnp.zeros((bt, h, w, c), f32)), unroll=False)
     out_ref[:] = acc
 
+  table_len = rcdf_table.shape[-1]
   tile4 = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0, 0),
                                      memory_space=pltpu.VMEM)
   full = lambda m: pl.BlockSpec(m.shape, (lambda nd_: lambda i:

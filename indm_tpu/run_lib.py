@@ -269,6 +269,11 @@ def train(config, workdir, assetdir: Optional[str] = None):
             "(%.2f steps/s)", step, losses.mean(), l_score.mean(),
             l_flow.mean(), l_logp.mean(),
             config.training.log_freq / max(time.time() - t0, 1e-9))
+        # the reference logs a second std line (`run_lib.py:99-100`) — the
+        # de-facto regression signal of SURVEY.md §4
+        logging.info(
+            "step: %d, loss std: %.5e, score: %.5e, flow: %.5e, logp: %.5e",
+            step, losses.std(), l_score.std(), l_flow.std(), l_logp.std())
       t0 = time.time()
 
     is_snapshot = (step != 0 and step != initial_step

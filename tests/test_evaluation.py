@@ -136,6 +136,74 @@ def test_bpd_harness_all_four_sections(tmp_path, caplog):
   assert "NLL CORRECT w/ eps=eps" in caplog.text
 
 
+def _identifying_stubs(cfg):
+  """nelbo/nll stubs whose per-example 'bpd' is the image's uint8 value,
+  recovered exactly from the dequantized batch: 256*x01 in [k, k+1) for
+  source byte k, so floor() inverts the dequantization."""
+  import jax.numpy as jnp
+  from indm_tpu import data as data_lib
+
+  inverse_scaler = data_lib.get_data_inverse_scaler(cfg)
+
+  def recover(b):
+    x01 = inverse_scaler(b)
+    return jnp.mean(jnp.floor(256.0 * x01), axis=(1, 2, 3))
+
+  def nelbo_fn(rng, score_fn, flow_forward_fn, b):
+    return recover(b), recover(b)
+
+  def nll_fn(rng, score_fn, flow_forward_fn, b, residual=False,
+             eps_bpd=1e-5):
+    return recover(b), b, jnp.asarray(1, jnp.int32)
+
+  return nelbo_fn, nll_fn
+
+
+def test_bpd_sections_see_identical_images_in_reference_order(tmp_path):
+  """All four bpd sections must restart the test set from the start and see
+  the SAME images in the SAME deterministic order, as the reference's
+  per-section `iter(tf_ds)` does (`/root/reference/evaluation.py:400-493`).
+  The dataset is 10 images whose value IS their index; with epoch-start
+  restarts every section averages images 0..7 -> 3.5, while a mid-stream
+  continuation would average a shifted window."""
+  from indm_tpu import evaluation
+
+  data = np.stack([np.full((8, 8, 3), i, np.uint8) for i in range(10)])
+  np.savez_compressed(tmp_path / "cifar10.npz", train=data, test=data)
+  cfg, eval_ds, scaler, _, _, score_fn = _harness_setup(
+      tmp_path, **{"eval.num_test_data": 6, "eval.batch_size": 8,
+                   "eval.skip_nll_wrong": False,
+                   "training.truncation_time": 1e-4})
+  nelbo_fn, nll_fn = _identifying_stubs(cfg)
+  results = evaluation.get_bpd(cfg, eval_ds, scaler, nelbo_fn, nll_fn,
+                               score_fn, None, step=0, eval=True)
+  eval_ds.close()
+  # one batch of 8 -> images 0..7 from the epoch start, per section
+  want = float(np.arange(8).mean())
+  for key in ("nelbo", "nll_wrong", "nll_correct", "nll_correct_train_eps"):
+    assert results[key] == pytest.approx(want), (key, results)
+
+
+def test_bpd_in_training_small_real_dataset_warns_and_caps(tmp_path, caplog):
+  """In-training (eval=False) bpd on a real dataset smaller than the
+  hardcoded 10000 must cap and continue (the reference's tf.data get_batch
+  self-heals), not crash training at the first preemption snapshot."""
+  import logging
+  from indm_tpu import evaluation
+
+  data = np.zeros((8, 8, 8, 3), np.uint8)
+  np.savez_compressed(tmp_path / "cifar10.npz", train=data, test=data)
+  cfg, eval_ds, scaler, _, _, score_fn = _harness_setup(
+      tmp_path, **{"eval.batch_size": 8})
+  nelbo_fn, nll_fn = _identifying_stubs(cfg)
+  with caplog.at_level(logging.WARNING):
+    results = evaluation.get_bpd(cfg, eval_ds, scaler, nelbo_fn, nll_fn,
+                                 score_fn, None, step=0, eval=False)
+  eval_ds.close()
+  assert "capping" in caplog.text
+  assert np.isfinite(results["nelbo"])
+
+
 def test_bpd_harness_fails_loudly_on_small_real_dataset(tmp_path):
   """A real on-disk dataset smaller than num_test_data must raise, not
   silently report a partial-test-set bpd."""

@@ -137,6 +137,25 @@ def test_iresblock_chain_pallas_gradients_match():
                                atol=1e-5)
 
 
+def test_iresblock_pallas_honors_unroll_terms():
+  """flow.logdet_unroll must take effect under flow.logdet_pallas too: the
+  kernel clips the sampled term count to the unroll length instead of
+  silently ignoring the truncation."""
+  nnet, params_n, x, h, _ = _setup()
+  params = {"nnet": params_n}
+  rng = jax.random.PRNGKey(11)
+  lp0 = jnp.zeros((x.shape[0],))
+  for seed in (11, 13):
+    rng = jax.random.PRNGKey(seed)
+    blk_unroll = IResBlock(nnet, n_dist="poisson", unroll_terms=3)
+    blk_both = IResBlock(nnet, n_dist="poisson", unroll_terms=3,
+                         chain_pallas=True)
+    _, lp_a = blk_unroll.forward(params, x, lp0, h=h, rng=rng, train=True)
+    _, lp_b = blk_both.forward(params, x, lp0, h=h, rng=rng, train=True)
+    np.testing.assert_allclose(np.asarray(lp_b), np.asarray(lp_a),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_fused_kernel_matches_vjp_chain():
   """The fully-fused forward+chain kernel (derivatives computed in-kernel)
   must match the repeated-jax.vjp chain."""

@@ -143,6 +143,12 @@ def get_default_configs(dataset: str = "CIFAR10") -> ml_collections.ConfigDict:
   # backward skips the sin-heavy forward recompute (~2 GB extra HBM at the
   # flagship geometry; off = reference remat behavior)
   flow.remat_save_preacts = False
+  # custom-VJP fused iResBlock kernel pair (indm_tpu/ops/fused_block.py):
+  # forward + Neumann chain + J^T u in ONE kernel (each sin/cos evaluated
+  # once), complete backward (incl. second-order logdet terms) in a second
+  # in-VMEM-recompute kernel; scan remat becomes unnecessary. Supported
+  # for the 3-1-3 sin Lop geometry; auto-falls back otherwise.
+  flow.fused_block = False
 
   config.seed = 42
   config.datadir = "."

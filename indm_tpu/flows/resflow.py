@@ -441,7 +441,8 @@ class IResBlock:
                inverse_max_iter: int = 1000,
                unroll_terms: Optional[int] = None,
                chain_bf16: bool = False,
-               chain_pallas: bool = False):
+               chain_pallas: bool = False,
+               fused_block: bool = False):
     self.nnet = nnet
     self.n_dist = n_dist
     self.lamb = lamb
@@ -470,6 +471,13 @@ class IResBlock:
     # sampled terms — indm_tpu/ops/neumann_pallas.py). Falls back to the
     # XLA while_loop when the nnet shape isn't kernel-supported.
     self.chain_pallas = chain_pallas
+    # fused_block: the round-3 custom-VJP kernel PAIR
+    # (indm_tpu/ops/fused_block.py) — forward + Neumann chain + J^T u in
+    # one kernel (each sin/cos evaluated once), full backward (incl. the
+    # second-order logdet terms) in a second kernel that recomputes
+    # in-VMEM. Takes precedence over chain_pallas when the geometry is
+    # supported; falls back otherwise.
+    self.fused_block = fused_block
     self._rcdf = {}
     for offset in (n_exact_terms, 20):
       if n_dist == "poisson":
@@ -611,12 +619,49 @@ class IResBlock:
     h_sg = None if h is None else sg(h)
     x_sg = sg(x)
 
+    if (train and self.neumann_grad and self.fused_block
+        and self.n_power_series is None
+        and getattr(self.nnet, "fused_chain_ok", lambda: False)()):
+      # custom-VJP fused kernel pair: forward + chain + J^T u in one
+      # kernel, complete backward in another (fused_block.py). The
+      # Lipschitz normalization and h-projection stay in XLA so their
+      # gradients chain normally.
+      from indm_tpu.ops import fused_block as fused_lib
+
+      n_kernel = n
+      if self.unroll_terms:
+        n_kernel = jnp.minimum(n, self.unroll_terms - offset)
+      table = self._rcdf_table(offset)
+      ps = params["nnet"]
+      convs = self.nnet.convs
+      nws = tuple(c.normalized_weight(p) for c, p in zip(convs, ps))
+      bs = tuple(p["b"] for p in ps)
+      hp = None
+      if convs[1].cond_dim is not None and h is not None:
+        hp = h @ ps[1]["h_w"] + ps[1]["h_b"]
+      dtype_name = ("bfloat16" if (self.chain_bf16 or getattr(
+          self.nnet, "mixed_precision", False)) else "float32")
+      cfg = (offset, bool(self.nnet.preact), dtype_name,
+             jax.default_backend() != "tpu")
+      y, logdet = fused_lib.fused_block_apply(
+          cfg, x, nws[0], nws[1], nws[2], bs[0], bs[1], bs[2], hp,
+          vareps, n_kernel, table)
+      # forward() adds x again; the +x/-x pair cancels in both primal
+      # and gradient
+      return y - x, logdet
+
     if train and self.neumann_grad:
       # Neumann series under stop_gradient, then ONE differentiable VJP
       # (`iresblock.py:249-258`).
       u_acc = None
       if self.chain_pallas and self.n_power_series is None:
-        u_acc = self._pallas_chain(params_sg, x_sg, h_sg, vareps, n,
+        n_kernel = n
+        if self.unroll_terms:
+          # honor flow.logdet_unroll under flow.logdet_pallas: the fixed
+          # unroll truncates the series at unroll_terms total terms, which
+          # for the dynamic kernel is the clip n_pow <= unroll_terms
+          n_kernel = jnp.minimum(n, self.unroll_terms - offset)
+        u_acc = self._pallas_chain(params_sg, x_sg, h_sg, vareps, n_kernel,
                                    offset)
       if u_acc is not None:
         u = jax.ad_checkpoint.checkpoint_name(sg(vareps + u_acc),
@@ -839,7 +884,8 @@ def build_stacked_iresblocks(in_ch: int, idim: int, n_blocks: int,
                              chain_bf16: bool = False,
                              chain_pallas: bool = False,
                              mixed_precision: bool = False,
-                             save_preacts: bool = False
+                             save_preacts: bool = False,
+                             fused_block: bool = False
                              ) -> SequentialFlow:
   """`StackediResBlocks` for resblock_type='resflow'
   (`resflow_.py:337-518`). Homogeneous runs of blocks are folded into a
@@ -859,7 +905,7 @@ def build_stacked_iresblocks(in_ch: int, idim: int, n_blocks: int,
                          mixed_precision=mixed_precision)
     return IResBlock(nnet, n_dist=n_dist, n_exact_terms=n_exact_terms,
                      unroll_terms=unroll_terms, chain_bf16=chain_bf16,
-                     chain_pallas=chain_pallas)
+                     chain_pallas=chain_pallas, fused_block=fused_block)
 
   chain = []
   if actnorm:
@@ -877,6 +923,7 @@ def build_stacked_iresblocks(in_ch: int, idim: int, n_blocks: int,
       chain.append(make_block(preact))
     elif rest > 1:
       chain.append(ScannedIResBlocks(make_block(preact), rest,
+                                     remat=not fused_block,
                                      save_preacts=save_preacts))
   if squeeze:
     chain.append(SqueezeLayer(2))
@@ -973,7 +1020,8 @@ class ResidualFlow:
                chain_bf16: bool = False,
                chain_pallas: bool = False,
                mixed_precision: bool = False,
-               save_preacts: bool = False):
+               save_preacts: bool = False,
+               fused_block: bool = False):
     n_scale_max = 0
     hw = image_hw
     while hw >= 4:
@@ -995,7 +1043,8 @@ class ResidualFlow:
             preact=preact, first_resblock=first_resblock and (i == 0),
             actnorm=actnorm, unroll_terms=unroll_terms,
             chain_bf16=chain_bf16, chain_pallas=chain_pallas,
-            mixed_precision=mixed_precision, save_preacts=save_preacts))
+            mixed_precision=mixed_precision, save_preacts=save_preacts,
+            fused_block=fused_block))
       elif block_type == "coupling":
         self.transforms.append(build_stacked_coupling_blocks(
             in_ch=c, idim=intermediate_dim, n_blocks=n_blocks[i],

@@ -28,7 +28,11 @@ FLAGS = flags.FLAGS
 
 
 def main(argv):
-  from indm_tpu import run_lib
+  from indm_tpu import parallel, run_lib
+
+  # multi-host entry: no-op unless a coordinator is configured in the
+  # environment (SURVEY.md §2.7 — replaces the reference's dead NCCL DDP)
+  parallel.initialize_distributed()
 
   os.makedirs(FLAGS.workdir, exist_ok=True)
   with open(os.path.join(FLAGS.workdir, "config.txt"), "w") as f:

@@ -22,13 +22,11 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+import flax.linen as nn
+
 from indm_tpu.configs.wolf_presets import load_wolf_params
 from indm_tpu.flows import wolf as wolf_lib
 from indm_tpu.flows.resflow import ResidualFlow, squeeze_nhwc, unsqueeze_nhwc
-
-# h conditioning width hardcoded in the reference's LopCondConv2d
-# (`wolf lipschitz.py:415`).
-_WOLF_H_DIM = 64
 
 
 class FlowModel:
@@ -52,16 +50,22 @@ class FlowModel:
 
     self.gen_kind = "resflow"
     self.gen_module = None
+    self.disc_is_module = False
     if self.kind == "resflow":
       cond_dim = None
     elif self.kind == "wolf":
-      cond_dim = _WOLF_H_DIM
       self.wolf_params = load_wolf_params(config.flow.model_config)
       self.disc = wolf_lib.make_discriminator(self.wolf_params)
+      self.disc_is_module = isinstance(self.disc, nn.Module)
+      # conditioning width = the discriminator's latent dim (h feeds the
+      # generator's cond projection, `wolf generator.py:88-109`); the base
+      # discriminator yields z=None -> unconditional generator
+      cond_dim = getattr(self.disc, "dim", None)
       self.gen_kind = self.wolf_params["generator"]["flow"].get("type",
                                                                 "resflow")
     else:
       raise NotImplementedError(self.kind)
+    self.cond_dim = cond_dim
 
     if self.gen_kind == "resflow":
       # INDM instantiation (`flow_models/flow_model.py:93-100`,
@@ -78,7 +82,8 @@ class FlowModel:
           chain_bf16=bool(config.flow.get("logdet_bf16", False)),
           chain_pallas=bool(config.flow.get("logdet_pallas", False)),
           mixed_precision=bool(config.flow.get("mixed_precision", False)),
-          save_preacts=bool(config.flow.get("remat_save_preacts", False)))
+          save_preacts=bool(config.flow.get("remat_save_preacts", False)),
+          fused_block=bool(config.flow.get("fused_block", False)))
     else:
       # glow / macow generators built from the wolf JSON
       # (`wolf generator.py:106-108`, Flow.by_name registry).
@@ -104,22 +109,33 @@ class FlowModel:
     if self.gen_kind == "resflow":
       params = {"resflow": self.resflow.init(r1)}
     else:
-      x = jnp.zeros((2, img, img, ch))
-      h = (jnp.zeros((2, _WOLF_H_DIM))
+      # glow/macow layers use the wolf DATA-DEPENDENT init protocol
+      # (`wolf.py:36-39`, `weight_norm.py:61-74`): trace init with
+      # unit-scale random inputs (not zeros) so every actnorm/weight-norm
+      # layer standardizes to sane statistics — required for deep stacks
+      # to be finite at step 0
+      r1a, r1b, r1c = jax.random.split(r1, 3)
+      x = jax.random.normal(r1b, (8, img, img, ch))
+      h = (jax.random.normal(r1c, (8, self.gen_module.h_channels))
            if self.gen_module.h_channels else None)
-      gen_vars = self.gen_module.init(r1, x, h=h, train=False)
+      gen_vars = self.gen_module.init(r1a, x, h=h, train=False)
       params = {"gen": gen_vars["params"]}
     buffers = {}
-    if self.disc is not None:
+    if self.disc is not None and self.disc_is_module:
       img = self.config.data.image_size
       ch = self.config.data.num_channels
       if self.squeeze:
         img, ch = img // 2, ch * 4
       x = jnp.zeros((2, img, img, ch))
+      kw = {}
+      if isinstance(self.disc, wolf_lib.GaussianDiscriminator):
+        pass
+      else:  # categorical needs labels to trace its embed path
+        kw["y"] = jnp.zeros((2,), jnp.int32)
       # init through sampling_and_KL so the flow prior's params are created
       variables = self.disc.init({"params": r2, "sample": r3}, x,
                                  train=False,
-                                 method=self.disc.sampling_and_KL)
+                                 method=self.disc.sampling_and_KL, **kw)
       params["disc"] = variables["params"]
       buffers["batch_stats"] = variables.get("batch_stats", {})
     return params, buffers
@@ -130,19 +146,25 @@ class FlowModel:
     return {"params": params["disc"],
             "batch_stats": buffers.get("batch_stats", {})}
 
-  def sampling_and_kl(self, params, buffers, x, rng, train):
+  def sampling_and_kl(self, params, buffers, x, rng, train, y=None):
+    if not self.disc_is_module:  # 'base': z=None, KL=0
+      z, kl = self.disc.sampling_and_KL(x, y=y, train=train)
+      return z, kl, buffers
+    kw = {} if y is None else {"y": y}
     out = self.disc.apply(
         self._disc_vars(params, buffers), x, train=train,
         method=self.disc.sampling_and_KL,
         rngs={"sample": rng},
-        mutable=["batch_stats"] if train else False)
+        mutable=["batch_stats"] if train else False, **kw)
     if train:
       (z, kl), mutated = out
-      return z, kl, {"batch_stats": mutated["batch_stats"]}
+      return z, kl, {"batch_stats": mutated.get("batch_stats", {})}
     z, kl = out
     return z, kl, buffers
 
   def sample_prior(self, params, buffers, n, rng):
+    if not self.disc_is_module:
+      return self.disc.sample_from_prior(n)
     return self.disc.apply(self._disc_vars(params, buffers), n,
                            method=self.disc.sample_from_prior,
                            rngs={"sample": rng})
@@ -157,11 +179,13 @@ def create_flow_model(config) -> Optional[FlowModel]:
 
 def flow_forward(config, flow_model: FlowModel, params, buffers, x,
                  rng=None, reverse: bool = False, train: bool = False,
-                 eval_logdet: bool = True):
+                 eval_logdet: bool = True, y=None):
   """Single flow entry (`flow_model.py:7-69`).
 
   Forward: returns (z, logdet, new_buffers) — `logdet` per the reference
-  convention above (or None when eval_logdet=False).
+  convention above (or None when eval_logdet=False). `y` (class labels)
+  feeds the categorical discriminator's embedding
+  (`discriminators/categorical.py`); None for unconditional presets.
   Reverse: returns (x, None, buffers).
   """
   if flow_model is None or flow_model.kind == "identity":
@@ -188,7 +212,7 @@ def flow_forward(config, flow_model: FlowModel, params, buffers, x,
   elif flow_model.kind == "wolf":
     if not reverse:
       h, kl, new_buffers = flow_model.sampling_and_kl(params, buffers, x,
-                                                      rng_h, train)
+                                                      rng_h, train, y=y)
       if flow_model.gen_kind == "resflow":
         z, logpx = flow_model.resflow.fwdpass(
             params["resflow"], x, h=h, rng=rng_f, train=train,

@@ -78,6 +78,88 @@ class ResNetBlockBN(nn.Module):
     return act(h + residual)
 
 
+class ResNetBlockGN(nn.Module):
+  """GroupNorm variant (`nnet/resnets/resnet_groupnorm.py:9-68`), NHWC."""
+  planes: int
+  num_groups: int
+  stride: int = 1
+  activation: str = "elu"
+
+  @nn.compact
+  def __call__(self, x, train: bool = True):
+    act = _ACTS[self.activation]
+    inp = x.shape[-1]
+    residual = x
+    h = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+                padding="SAME", use_bias=False)(x)
+    h = nn.GroupNorm(num_groups=self.num_groups)(h)
+    h = act(h)
+    h = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False)(h)
+    h = nn.GroupNorm(num_groups=self.num_groups)(h)
+    if self.stride != 1 or inp != self.planes:
+      residual = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
+                         use_bias=False)(x)
+      residual = nn.GroupNorm(num_groups=self.num_groups)(residual)
+    return act(h + residual)
+
+
+class DeResNetBlockBN(nn.Module):
+  """Transposed-conv ResNet block with BatchNorm
+  (`nnet/resnets/resnet_batchnorm.py` DeResNetBlockBatchNorm), NHWC.
+  torch deconv3x3(stride, output_padding) == lax conv_transpose; flax
+  ConvTranspose with SAME padding reproduces stride*h output, which matches
+  the reference's stride-2/output_padding-1 configuration."""
+  planes: int
+  stride: int = 1
+  activation: str = "elu"
+
+  @nn.compact
+  def __call__(self, x, train: bool = True):
+    act = _ACTS[self.activation]
+    inp = x.shape[-1]
+    residual = x
+    h = nn.ConvTranspose(self.planes, (3, 3), strides=(self.stride,) * 2,
+                         padding="SAME", use_bias=False)(x)
+    h = nn.BatchNorm(use_running_average=not train)(h)
+    h = act(h)
+    h = nn.ConvTranspose(self.planes, (3, 3), padding="SAME",
+                         use_bias=False)(h)
+    h = nn.BatchNorm(use_running_average=not train)(h)
+    if self.stride != 1 or inp != self.planes:
+      residual = nn.ConvTranspose(self.planes, (1, 1),
+                                  strides=(self.stride,) * 2,
+                                  padding="SAME", use_bias=False)(x)
+      residual = nn.BatchNorm(use_running_average=not train)(residual)
+    return act(h + residual)
+
+
+class DeResNetBlockGN(nn.Module):
+  """GroupNorm variant (`resnet_groupnorm.py:71-131`), NHWC."""
+  planes: int
+  num_groups: int
+  stride: int = 1
+  activation: str = "elu"
+
+  @nn.compact
+  def __call__(self, x, train: bool = True):
+    act = _ACTS[self.activation]
+    inp = x.shape[-1]
+    residual = x
+    h = nn.ConvTranspose(self.planes, (3, 3), strides=(self.stride,) * 2,
+                         padding="SAME", use_bias=False)(x)
+    h = nn.GroupNorm(num_groups=self.num_groups)(h)
+    h = act(h)
+    h = nn.ConvTranspose(self.planes, (3, 3), padding="SAME",
+                         use_bias=False)(h)
+    h = nn.GroupNorm(num_groups=self.num_groups)(h)
+    if self.stride != 1 or inp != self.planes:
+      residual = nn.ConvTranspose(self.planes, (1, 1),
+                                  strides=(self.stride,) * 2,
+                                  padding="SAME", use_bias=False)(x)
+      residual = nn.GroupNorm(num_groups=self.num_groups)(residual)
+    return act(h + residual)
+
+
 class GlobalResNetEncoderBN(nn.Module):
   """Strided ResNet pyramid -> flatten
   (`modules/encoders/global_encoder.py:12-44`). Each level = 2 blocks with
@@ -97,6 +179,88 @@ class GlobalResNetEncoderBN(nn.Module):
     x = nn.Conv(self.out_planes, (1, 1), use_bias=True)(x)
     x = jax.nn.elu(x)
     return x.reshape(x.shape[0], -1)
+
+
+class GlobalResNetEncoderGN(nn.Module):
+  """GroupNorm global encoder
+  (`modules/encoders/global_encoder.py:47-85`)."""
+  levels: int
+  hidden_planes: Sequence[int]
+  out_planes: int
+  num_groups: Sequence[int]
+  activation: str = "elu"
+
+  @nn.compact
+  def __call__(self, x, train: bool = True):
+    assert len(self.hidden_planes) == self.levels
+    assert len(self.num_groups) == self.levels
+    for level in range(self.levels):
+      hc = self.hidden_planes[level]
+      ng = self.num_groups[level]
+      x = ResNetBlockGN(hc, num_groups=ng, stride=1,
+                        activation=self.activation)(x, train)
+      x = ResNetBlockGN(hc, num_groups=ng, stride=2,
+                        activation=self.activation)(x, train)
+    x = nn.Conv(self.out_planes, (1, 1), use_bias=True)(x)
+    x = jax.nn.elu(x)
+    return x.reshape(x.shape[0], -1)
+
+
+class LocalResNetEncoderBN(nn.Module):
+  """Local (spatial-output) encoder: strided ResNet pyramid followed by a
+  mirrored transposed-conv pyramid back to input resolution
+  (`modules/encoders/local_encoder.py:12-53`). Returns [B, H, W,
+  out_planes] feature maps for local conditioning."""
+  levels: int
+  hidden_planes: Sequence[int]
+  out_planes: int
+  activation: str = "elu"
+
+  @nn.compact
+  def __call__(self, x, train: bool = True):
+    assert len(self.hidden_planes) == self.levels
+    for level in range(self.levels):
+      hc = self.hidden_planes[level]
+      x = ResNetBlockBN(hc, stride=1, activation=self.activation)(x, train)
+      x = ResNetBlockBN(hc, stride=2, activation=self.activation)(x, train)
+    down = [self.out_planes] + list(self.hidden_planes)
+    for level in reversed(range(self.levels)):
+      inp = x.shape[-1]
+      x = DeResNetBlockBN(inp, stride=1,
+                          activation=self.activation)(x, train)
+      x = DeResNetBlockBN(down[level], stride=2,
+                          activation=self.activation)(x, train)
+    return x
+
+
+class LocalResNetEncoderGN(nn.Module):
+  """GroupNorm local encoder (`local_encoder.py:56-105`)."""
+  levels: int
+  hidden_planes: Sequence[int]
+  out_planes: int
+  num_groups: Sequence[int]
+  activation: str = "elu"
+
+  @nn.compact
+  def __call__(self, x, train: bool = True):
+    assert len(self.hidden_planes) == self.levels
+    assert len(self.num_groups) == self.levels
+    for level in range(self.levels):
+      hc = self.hidden_planes[level]
+      ng = self.num_groups[level]
+      x = ResNetBlockGN(hc, num_groups=ng, stride=1,
+                        activation=self.activation)(x, train)
+      x = ResNetBlockGN(hc, num_groups=ng, stride=2,
+                        activation=self.activation)(x, train)
+    down = [self.out_planes] + list(self.hidden_planes)
+    for level in reversed(range(self.levels)):
+      ng = self.num_groups[level]
+      inp = x.shape[-1]
+      x = DeResNetBlockGN(inp, num_groups=ng, stride=1,
+                          activation=self.activation)(x, train)
+      x = DeResNetBlockGN(down[level], num_groups=ng, stride=2,
+                          activation=self.activation)(x, train)
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -297,27 +461,49 @@ class PriorFlow(nn.Module):
 
 class GaussianDiscriminator(nn.Module):
   """Gaussian variational 'discriminator' (global encoder)
-  (`modules/discriminators/gaussian.py:14-100`) with a flow prior."""
+  (`modules/discriminators/gaussian.py:14-100`) with a flow or normal
+  prior (`priors/prior.py:47-81`, `priors/flow.py`)."""
   encoder_levels: int
   encoder_hidden: Sequence[int]
   encoder_out_planes: int
   encoder_activation: str
   in_dim: int
   dim: int
-  prior_steps: int
-  prior_hidden: int
+  prior_type: str = "flow"            # 'flow' | 'normal'
+  prior_steps: int = 0
+  prior_hidden: int = 0
   prior_activation: str = "elu"
+  encoder_type: str = "global_resnet_bn"  # | 'global_resnet_gn'
+  encoder_groups: Optional[Sequence[int]] = None
 
   def setup(self):
-    self.encoder = GlobalResNetEncoderBN(
-        levels=self.encoder_levels, hidden_planes=self.encoder_hidden,
-        out_planes=self.encoder_out_planes,
-        activation=self.encoder_activation)
+    if self.encoder_type == "global_resnet_bn":
+      self.encoder = GlobalResNetEncoderBN(
+          levels=self.encoder_levels, hidden_planes=self.encoder_hidden,
+          out_planes=self.encoder_out_planes,
+          activation=self.encoder_activation)
+    elif self.encoder_type == "global_resnet_gn":
+      self.encoder = GlobalResNetEncoderGN(
+          levels=self.encoder_levels, hidden_planes=self.encoder_hidden,
+          out_planes=self.encoder_out_planes,
+          num_groups=tuple(self.encoder_groups),
+          activation=self.encoder_activation)
+    else:
+      # local encoders keep spatial structure; the Gaussian global (mu,
+      # logvar) FC head is only defined over flattened global features
+      # (`gaussian.py:19,23-25`)
+      raise NotImplementedError(
+          f"GaussianDiscriminator supports global encoders only, got "
+          f"{self.encoder_type!r} (local encoders are standalone modules: "
+          "LocalResNetEncoderBN/GN)")
     self.fc = DenseWeightNorm(2 * self.dim)
-    self.prior = PriorFlow(num_steps=self.prior_steps,
-                           in_features=self.dim,
-                           hidden_features=self.prior_hidden,
-                           activation=self.prior_activation)
+    if self.prior_type == "flow":
+      self.prior = PriorFlow(num_steps=self.prior_steps,
+                             in_features=self.dim,
+                             hidden_features=self.prior_hidden,
+                             activation=self.prior_activation)
+    elif self.prior_type != "normal":
+      raise NotImplementedError(f"prior type {self.prior_type!r}")
 
   def __call__(self, x, train: bool = True):
     c = self.encoder(x, train=train)
@@ -325,7 +511,8 @@ class GaussianDiscriminator(nn.Module):
     mu, logvar = jnp.split(c, 2, axis=-1)
     return mu, logvar
 
-  def sampling_and_KL(self, x, train: bool = True, nsamples: int = 1):
+  def sampling_and_KL(self, x, y=None, train: bool = True,
+                      nsamples: int = 1):
     """(`gaussian.py:67-76`). Returns (z [B*ns, dim], KL [B])."""
     mu, logvar = self(x, train=train)
     b = mu.shape[0]
@@ -337,7 +524,11 @@ class GaussianDiscriminator(nn.Module):
     return z.reshape(b * nsamples, self.dim), kl
 
   def calc_kl(self, z, eps, mu, logvar):
-    """FlowPrior.calcKL (`priors/flow.py:233-253`)."""
+    """FlowPrior.calcKL (`priors/flow.py:233-253`) or the closed Gaussian
+    form for the normal prior (`priors/prior.py:69-71`)."""
+    if self.prior_type == "normal":
+      return 0.5 * jnp.sum(mu ** 2 + jnp.exp(logvar) - logvar - 1.0,
+                           axis=1)
     dim = z.shape[2]
     nsamples = z.shape[1]
     cc = math.log(math.pi * 2.0)
@@ -356,27 +547,49 @@ class GaussianDiscriminator(nn.Module):
   def sample_from_prior(self, nsamples: int):
     epsilon = jax.random.normal(self.make_rng("sample"),
                                 (nsamples, self.dim))
+    if self.prior_type == "normal":
+      return epsilon
     z, _ = self.prior.sample_pass(epsilon)
     return z
 
 
-def make_discriminator(wolf_params: Dict) -> GaussianDiscriminator:
-  """Build from the resflow-gaussian-uni preset dict
-  (`wolf.py:132-145`, `gaussian.py:94-100`)."""
+def make_discriminator(wolf_params: Dict):
+  """Discriminator dispatch over the full preset matrix
+  (`wolf.py:132-145`, the Discriminator registry
+  `modules/discriminators/discriminator.py:86-95`):
+    * 'gaussian' -> GaussianDiscriminator (global BN/GN encoder, flow or
+      normal prior; `gaussian.py:94-100`);
+    * 'categorical' -> CategoricalDiscriminator
+      (`discriminators/categorical.py`);
+    * 'base' -> BaseDiscriminator (z=None, KL=0;
+      `discriminator.py:8-95`)."""
+  from indm_tpu.flows import wolf_extras
+
   d = wolf_params["discriminator"]
-  assert d["type"] == "gaussian"
+  kind = d["type"]
+  if kind == "base":
+    return wolf_extras.BaseDiscriminator()
+  if kind == "categorical":
+    return wolf_extras.CategoricalDiscriminator(
+        num_events=d["num_events"], dim=d["dim"],
+        activation=d.get("activation", "relu"),
+        probs=d.get("probs"), logits=d.get("logits"))
+  assert kind == "gaussian", f"unknown discriminator type {kind!r}"
   enc = d["encoder"]
-  assert enc["type"] == "global_resnet_bn"
+  assert enc["type"] in ("global_resnet_bn", "global_resnet_gn"), enc["type"]
   prior = d["prior"]
-  assert prior["type"] == "flow"
+  assert prior["type"] in ("flow", "normal"), prior["type"]
   return GaussianDiscriminator(
       encoder_levels=enc["levels"],
       encoder_hidden=tuple(enc["hidden_planes"]),
       encoder_out_planes=enc["out_planes"],
       encoder_activation=enc["activation"],
+      encoder_type=enc["type"],
+      encoder_groups=tuple(enc.get("num_groups", ())) or None,
       in_dim=d["in_dim"],
       dim=d["dim"],
-      prior_steps=prior["num_steps"],
-      prior_hidden=prior["hidden_features"],
-      prior_activation=prior["activation"],
+      prior_type=prior["type"],
+      prior_steps=prior.get("num_steps", 0),
+      prior_hidden=prior.get("hidden_features", 0),
+      prior_activation=prior.get("activation", "elu"),
   )

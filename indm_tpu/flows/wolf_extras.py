@@ -36,6 +36,23 @@ class NormalPrior:
     return 0.5 * jnp.sum(mu ** 2 + jnp.exp(logvar) - logvar - 1.0, axis=1)
 
 
+class BaseDiscriminator:
+  """The registry's 'base' discriminator
+  (`discriminators/discriminator.py:8-95`): no encoder, no latent — the
+  wolf generator runs unconditionally. sampling_and_KL yields z=None with a
+  zero KL contribution, sample_from_prior yields None. Not a flax module:
+  it has no parameters."""
+
+  is_module = False
+
+  def sampling_and_KL(self, x, y=None, train: bool = True,
+                      nsamples: int = 1):
+    return None, jnp.zeros((x.shape[0],), jnp.float32)
+
+  def sample_from_prior(self, nsamples: int):
+    return None
+
+
 class CategoricalDiscriminator(nn.Module):
   """Class-conditional 'discriminator' (`discriminators/categorical.py`):
   z = MLP(embed(y)), KL = 0 (deterministic embedding; sampling draws y from

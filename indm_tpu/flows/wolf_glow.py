@@ -72,24 +72,40 @@ def unsplit2d(xs):
 
 
 class Conv2dWeightNorm(nn.Module):
-  """Weight-normalized conv (`nnet/weight_norm.py:43-82`), NHWC."""
+  """Weight-normalized conv (`nnet/weight_norm.py:43-82`), NHWC, with the
+  reference's DATA-DEPENDENT init (`weight_norm.py:61-74`): at module.init
+  the output is standardized per channel to `init_scale` (g scaled, bias
+  absorbing the mean). init_scale=0 zero-initializes the output — the
+  reference uses this for every coupling block's LAST layer
+  (`couplings/blocks.py:47,120,152`) so couplings start near identity;
+  without it, deep glow/macow inverses amplify until overflow."""
   features: int
   kernel: Tuple[int, int] = (3, 3)
+  init_scale: float = 1.0
 
   @nn.compact
   def __call__(self, x):
     in_ch = x.shape[-1]
     shape = self.kernel + (in_ch, self.features)
     v = self.param("v", nn.initializers.normal(0.05), shape)
-    g = self.param(
-        "g", lambda rng: jnp.sqrt((nn.initializers.normal(0.05)(
-            rng, shape) ** 2).sum(axis=(0, 1, 2))))
-    b = self.param("b", nn.initializers.zeros, (self.features,))
     vnorm = jnp.sqrt((v ** 2).sum(axis=(0, 1, 2))) + 1e-12
-    w = v * (g / vnorm)
-    y = jax.lax.conv_general_dilated(
+
+    conv = lambda w: jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + b
+    if self.is_initializing():
+      # g0 = ||v|| -> initial weight == v; standardize its output
+      out0 = conv(v)
+      mean = out0.mean(axis=(0, 1, 2))
+      std = out0.std(axis=(0, 1, 2))
+      inv = self.init_scale / (std + 1e-6)
+      g_init = lambda rng: vnorm * inv
+      b_init = lambda rng, shape: -mean * inv
+    else:
+      g_init = lambda rng: vnorm
+      b_init = nn.initializers.zeros
+    g = self.param("g", g_init)
+    b = self.param("b", b_init, (self.features,))
+    return conv(v * (g / vnorm)) + b
 
 
 class NICEConvBlock(nn.Module):
@@ -131,7 +147,9 @@ class NICEConvBlock(nn.Module):
     if h is not None:
       out = out + h
     out = act(out)
-    return Conv2dWeightNorm(self.out_channels, (3, 3))(out)
+    # reference zero-inits the block's last layer (`blocks.py:120`):
+    # couplings start near identity
+    return Conv2dWeightNorm(self.out_channels, (3, 3), init_scale=0.0)(out)
 
 
 class LocalLinearCondNet(nn.Module):
@@ -155,14 +173,28 @@ class GlobalLinearCondNet(nn.Module):
 
 
 class ActNorm2dFlow(nn.Module):
-  """`flows/normalization.py:115-175`."""
+  """`flows/normalization.py:115-175`, with the reference's data-dependent
+  init (`normalization.py:170-180`): at module.init the OUTPUT of the
+  direction being traced is standardized per channel — the stabilizer that
+  keeps deep glow/macow stacks in range at random init."""
   in_channels: int
 
   @nn.compact
   def __call__(self, x, h=None, reverse: bool = False):
-    log_scale = self.param("log_scale", nn.initializers.normal(0.05),
-                           (self.in_channels,))
-    bias = self.param("bias", nn.initializers.zeros, (self.in_channels,))
+    if self.is_initializing():
+      mean = x.mean(axis=(0, 1, 2))
+      std = x.std(axis=(0, 1, 2)) + 1e-6
+      if reverse:   # out = (x - bias) / exp(log_scale) standardized
+        ls0, b0 = jnp.log(std), mean
+      else:         # out = x * exp(log_scale) + bias standardized
+        ls0, b0 = -jnp.log(std), -mean / std
+      ls_init = lambda rng, shape: ls0
+      b_init = lambda rng, shape: b0
+    else:
+      ls_init = nn.initializers.normal(0.05)
+      b_init = nn.initializers.zeros
+    log_scale = self.param("log_scale", ls_init, (self.in_channels,))
+    bias = self.param("bias", b_init, (self.in_channels,))
     hw = x.shape[1] * x.shape[2]
     if not reverse:
       out = x * jnp.exp(log_scale) + bias

@@ -72,7 +72,9 @@ class MCFBlock(nn.Module):
   def setup(self):
     self.shift_conv = ShiftedConv2d(self.hidden_channels, self.kernel_size,
                                     order=self.order)
-    self.conv1x1 = Conv2dWeightNorm(self.out_channels, (1, 1))
+    # zero-init, as the reference's MCFBlock.init (`blocks.py:152`)
+    self.conv1x1 = Conv2dWeightNorm(self.out_channels, (1, 1),
+                                    init_scale=0.0)
 
   def __call__(self, x, h=None, shifted: bool = True):
     c = self.shift_conv(x, shifted=shifted)

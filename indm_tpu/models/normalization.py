@@ -61,6 +61,95 @@ class InstanceNorm2dPlus(nn.Module):
     return out
 
 
+class NoneNorm2d(nn.Module):
+  """Identity 'normalization' (`normalization.py:148-153`)."""
+
+  @nn.compact
+  def __call__(self, x):
+    return x
+
+
+def _cond_embed(num_classes, c, bias):
+  """The reference's conditional scale/bias embedding with its exact init
+  quirk (`normalization.py:43-55` etc.): gamma ~ U[0,1) (the code comment
+  claims N(1,0.02) but `.uniform_()` is uniform), beta = 0."""
+  if bias:
+    def init(rng, shape, *a):
+      g = jax.random.uniform(rng, (num_classes, c))
+      return jnp.concatenate([g, jnp.zeros((num_classes, c))], axis=-1)
+    return nn.Embed(num_classes, 2 * c, embedding_init=init)
+  return nn.Embed(num_classes, c,
+                  embedding_init=lambda rng, shape, *a: jax.random.uniform(
+                      rng, (num_classes, c)))
+
+
+class ConditionalBatchNorm2d(nn.Module):
+  """`normalization.py:43-66`: non-affine BatchNorm scaled/shifted by a
+  class embedding. Running statistics live in flax 'batch_stats'."""
+  num_classes: int
+  bias: bool = True
+
+  @nn.compact
+  def __call__(self, x, y, train: bool = True):
+    c = x.shape[-1]
+    h = nn.BatchNorm(use_running_average=not train, use_bias=False,
+                     use_scale=False)(x)
+    e = _cond_embed(self.num_classes, c, self.bias)(y)
+    if self.bias:
+      gamma, beta = jnp.split(e, 2, axis=-1)
+      return gamma[:, None, None, :] * h + beta[:, None, None, :]
+    return e[:, None, None, :] * h
+
+
+class ConditionalInstanceNorm2d(nn.Module):
+  """`normalization.py:69-90`."""
+  num_classes: int
+  bias: bool = True
+
+  @nn.compact
+  def __call__(self, x, y):
+    c = x.shape[-1]
+    h = InstanceNorm2d()(x)
+    e = _cond_embed(self.num_classes, c, self.bias)(y)
+    if self.bias:
+      gamma, beta = jnp.split(e, 2, axis=-1)
+      return gamma[:, None, None, :] * h + beta[:, None, None, :]
+    return e[:, None, None, :] * h
+
+
+class ConditionalVarianceNorm2d(nn.Module):
+  """`normalization.py:93-107`: variance-only normalization, class-embedded
+  gain with init N(1, 0.02)."""
+  num_classes: int
+  bias: bool = False
+
+  @nn.compact
+  def __call__(self, x, y):
+    c = x.shape[-1]
+    embed = nn.Embed(
+        self.num_classes, c,
+        embedding_init=lambda rng, shape, *a: 1.0 + 0.02
+        * jax.random.normal(rng, (self.num_classes, c)))(y)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    h = x / jnp.sqrt(var + 1e-5)
+    return embed[:, None, None, :] * h
+
+
+class ConditionalNoneNorm2d(nn.Module):
+  """`normalization.py:126-145`: pure class-conditional affine."""
+  num_classes: int
+  bias: bool = True
+
+  @nn.compact
+  def __call__(self, x, y):
+    c = x.shape[-1]
+    e = _cond_embed(self.num_classes, c, self.bias)(y)
+    if self.bias:
+      gamma, beta = jnp.split(e, 2, axis=-1)
+      return gamma[:, None, None, :] * x + beta[:, None, None, :]
+    return e[:, None, None, :] * x
+
+
 class ConditionalInstanceNorm2dPlus(nn.Module):
   """Class-conditional InstanceNorm++ (`normalization.py:186-215`)."""
   num_classes: int
@@ -87,13 +176,23 @@ class ConditionalInstanceNorm2dPlus(nn.Module):
 
 
 def get_normalization(config, conditional: bool = False) -> Callable:
-  """`normalization.py:20-38` dispatch."""
+  """`normalization.py:20-38` dispatch, extended over the full zoo: the
+  reference's dispatch raises for conditional variants other than
+  InstanceNorm++ even though the classes exist (`:43-155`); here every
+  variant is constructible so class-conditional NCSN configurations run."""
+  import functools
   norm = config.model.normalization
   if conditional:
-    if norm == "InstanceNorm++":
-      import functools
-      return functools.partial(ConditionalInstanceNorm2dPlus,
-                               num_classes=config.model.num_classes)
+    nc = config.model.num_classes
+    table = {
+        "InstanceNorm++": ConditionalInstanceNorm2dPlus,
+        "InstanceNorm": ConditionalInstanceNorm2d,
+        "BatchNorm": ConditionalBatchNorm2d,
+        "VarianceNorm": ConditionalVarianceNorm2d,
+        "NoneNorm": ConditionalNoneNorm2d,
+    }
+    if norm in table:
+      return functools.partial(table[norm], num_classes=nc)
     raise NotImplementedError(f"{norm} not implemented yet.")
   if norm == "InstanceNorm":
     return InstanceNorm2d
@@ -101,6 +200,8 @@ def get_normalization(config, conditional: bool = False) -> Callable:
     return InstanceNorm2dPlus
   if norm == "VarianceNorm":
     return VarianceNorm2d
+  if norm == "NoneNorm":
+    return NoneNorm2d
   if norm == "GroupNorm":
     return lambda: nn.GroupNorm(num_groups=32, epsilon=1e-6)
   raise ValueError(f"Unknown normalization: {norm}")

@@ -84,3 +84,80 @@ def test_dropout_rng_changes_train_output():
   o2 = module.apply(variables, x, t, train=True,
                     rngs={"dropout": jax.random.PRNGKey(2)})
   assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+# ---------------------------------------------------------------------------
+# Normalization zoo (`/root/reference/models/normalization.py:22-155`)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("norm", ["InstanceNorm++", "InstanceNorm",
+                                  "VarianceNorm", "NoneNorm"])
+def test_class_conditional_ncsn_forward_all_norms(norm):
+  """The class-conditional NCSNv1 must run with EVERY conditional
+  normalization variant (the reference ships the classes at
+  `normalization.py:43-155`; its own dispatch raises for all but
+  InstanceNorm++ — ours constructs them)."""
+  from indm_tpu.models.ncsnv2 import NCSN
+
+  cfg = tiny(get_config("vp/CIFAR10/indm_nll"), img=16, nf=8)
+  cfg.model.normalization = norm
+  cfg.model.num_classes = 10
+  cfg.model.num_scales = 10
+  cfg.model.nonlinearity = "elu"
+  module = NCSN(config=cfg)
+  x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
+  labels = jnp.asarray([0, 7])
+  variables = module.init(jax.random.PRNGKey(1), x, labels, train=False)
+  out = module.apply(variables, x, labels, train=False)
+  assert out.shape == x.shape
+  assert np.isfinite(np.asarray(out)).all()
+  # conditioning is real: different labels change the output
+  out2 = module.apply(variables, x, jnp.asarray([3, 1]), train=False)
+  assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_conditional_batchnorm2d_standalone():
+  """ConditionalBatchNorm2d (`normalization.py:43-66`): batch_stats
+  threading + class-conditional affine."""
+  from indm_tpu.models.normalization import ConditionalBatchNorm2d
+
+  m = ConditionalBatchNorm2d(num_classes=4)
+  x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 6)) * 3 + 1
+  y = jnp.asarray([0, 1, 2, 3])
+  variables = m.init(jax.random.PRNGKey(1), x, y, train=True)
+  out, mutated = m.apply(variables, x, y, train=True,
+                         mutable=["batch_stats"])
+  assert out.shape == x.shape
+  assert np.isfinite(np.asarray(out)).all()
+  # eval path uses the (updated) running stats
+  v2 = {"params": variables["params"],
+        "batch_stats": mutated["batch_stats"]}
+  out_eval = m.apply(v2, x, y, train=False)
+  assert np.isfinite(np.asarray(out_eval)).all()
+
+
+def test_conditional_none_and_variance_norm_semantics():
+  from indm_tpu.models.normalization import (ConditionalNoneNorm2d,
+                                             ConditionalVarianceNorm2d,
+                                             NoneNorm2d)
+
+  x = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 4, 3))
+  y = jnp.asarray([1, 0])
+  m = ConditionalNoneNorm2d(num_classes=3)
+  v = m.init(jax.random.PRNGKey(3), x, y)
+  out = m.apply(v, x, y)
+  # gamma * x + beta with beta initialized to 0 -> out/x constant per (b, c)
+  ratio = np.asarray(out) / np.asarray(x)
+  np.testing.assert_allclose(ratio.std(axis=(1, 2)), 0.0, atol=1e-5)
+
+  mv = ConditionalVarianceNorm2d(num_classes=3)
+  vv = mv.init(jax.random.PRNGKey(4), x, y)
+  outv = mv.apply(vv, x, y)
+  # variance-only normalization: spatial mean NOT removed
+  assert np.abs(np.asarray(outv).mean()) > 1e-4
+
+  nn_id = NoneNorm2d()
+  vi = nn_id.init(jax.random.PRNGKey(5), x)
+  np.testing.assert_array_equal(np.asarray(nn_id.apply(vi, x)),
+                                np.asarray(x))

@@ -254,6 +254,158 @@ def load_params(path: Optional[str] = None):
   return variables
 
 
+# tfhub graph names of the FID inception ("pool_3" network) — the layout
+# of the cleanfid torchscript `inception-2015-12-05.pt`
+# (`/root/reference/cleanfid/features.py:13-48`) — keyed by the
+# pytorch-fid module names this package's flax tree mirrors.
+_TF_STEM = {
+    "Conv2d_1a_3x3": "conv", "Conv2d_2a_3x3": "conv_1",
+    "Conv2d_2b_3x3": "conv_2", "Conv2d_3b_1x1": "conv_3",
+    "Conv2d_4a_3x3": "conv_4", "fc": "output",
+}
+_TF_MIXED = {
+    "Mixed_5b": "mixed", "Mixed_5c": "mixed_1", "Mixed_5d": "mixed_2",
+    "Mixed_6a": "mixed_3", "Mixed_6b": "mixed_4", "Mixed_6c": "mixed_5",
+    "Mixed_6d": "mixed_6", "Mixed_6e": "mixed_7", "Mixed_7a": "mixed_8",
+    "Mixed_7b": "mixed_9", "Mixed_7c": "mixed_10",
+}
+_TF_BRANCH = {
+    # A blocks (5b/5c/5d)
+    "branch1x1": "conv",
+    "branch5x5_1": "tower.conv", "branch5x5_2": "tower.conv_1",
+    "branch3x3dbl_1": "tower_1.conv", "branch3x3dbl_2": "tower_1.conv_1",
+    "branch3x3dbl_3": "tower_1.conv_2",
+    "branch_pool": "tower_2.conv",
+    # B block (6a) reuses branch3x3dbl_* under 'tower'
+    "branch3x3": "conv",
+    # C blocks (6b-6e)
+    "branch7x7_1": "tower.conv", "branch7x7_2": "tower.conv_1",
+    "branch7x7_3": "tower.conv_2",
+    "branch7x7dbl_1": "tower_1.conv", "branch7x7dbl_2": "tower_1.conv_1",
+    "branch7x7dbl_3": "tower_1.conv_2", "branch7x7dbl_4": "tower_1.conv_3",
+    "branch7x7dbl_5": "tower_1.conv_4",
+    # D block (7a)
+    "branch3x3_1": "tower.conv", "branch3x3_2": "tower.conv_1",
+    "branch7x7x3_1": "tower_1.conv", "branch7x7x3_2": "tower_1.conv_1",
+    "branch7x7x3_3": "tower_1.conv_2", "branch7x7x3_4": "tower_1.conv_3",
+    # E blocks (7b/7c)
+    "branch3x3_2a": "tower.mixed.conv", "branch3x3_2b": "tower.mixed.conv_1",
+    "branch3x3dbl_3a": "tower_1.mixed.conv",
+    "branch3x3dbl_3b": "tower_1.mixed.conv_1",
+}
+# 6a's branch3x3dbl_* live under 'tower' (not tower_1)
+_TF_6A = {"branch3x3": "conv", "branch3x3dbl_1": "tower.conv",
+          "branch3x3dbl_2": "tower.conv_1", "branch3x3dbl_3": "tower.conv_2"}
+
+
+def _tf_unit_name(fid_module: str) -> str:
+  """pytorch-fid module path -> tfhub unit name (e.g.
+  'Mixed_6b.branch7x7dbl_3' -> 'mixed_5.tower_1.conv_2')."""
+  parts = fid_module.split(".")
+  if parts[0] in _TF_STEM:
+    return _TF_STEM[parts[0]]
+  block, branch = parts[0], parts[1]
+  tf_block = _TF_MIXED[block]
+  table = dict(_TF_BRANCH)
+  if block == "Mixed_6a":
+    table.update(_TF_6A)
+  return f"{tf_block}.{table[branch]}"
+
+
+def torchscript_to_fid_state_dict(named_tensors):
+  """Translate the cleanfid torchscript layout
+  (`/root/reference/cleanfid/features.py:13-48`: tfhub graph names —
+  conv/conv_1..conv_4, mixed..mixed_10 with tower/tower_1/tower_2 branches,
+  'output' logits head) into the pytorch-fid-style state_dict that
+  `convert_torch_state_dict` consumes.
+
+  `named_tensors`: flat {name: tensor} from the ScriptModule's
+  named_parameters() + named_buffers(). Accepts '/'- or '.'-separated
+  names with an optional leading 'layers.'/'base.'/'module.' prefix, and
+  several conv/bn leaf spellings. TF inception fixes the BN scale at 1, so
+  a missing gamma is synthesized as ones. Raises listing every unit it
+  could not resolve — unknown layouts fail loudly, not silently."""
+  import torch
+
+  norm = {}
+  for k, v in named_tensors.items():
+    k = k.replace("/", ".")
+    for prefix in ("layers.", "base.", "module.", "model."):
+      if k.startswith(prefix):
+        k = k[len(prefix):]
+    norm[k] = v
+
+  def find(unit, suffixes):
+    for s in suffixes:
+      if f"{unit}{s}" in norm:
+        return norm[f"{unit}{s}"]
+    return None
+
+  fid_modules = (["Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
+                  "Conv2d_3b_1x1", "Conv2d_4a_3x3"]
+                 + [f"{b}.{br}" for b, branches in {
+                     "Mixed_5b": ["branch1x1", "branch5x5_1", "branch5x5_2",
+                                  "branch3x3dbl_1", "branch3x3dbl_2",
+                                  "branch3x3dbl_3", "branch_pool"],
+                     "Mixed_6a": ["branch3x3", "branch3x3dbl_1",
+                                  "branch3x3dbl_2", "branch3x3dbl_3"],
+                     "Mixed_6b": ["branch1x1", "branch7x7_1", "branch7x7_2",
+                                  "branch7x7_3", "branch7x7dbl_1",
+                                  "branch7x7dbl_2", "branch7x7dbl_3",
+                                  "branch7x7dbl_4", "branch7x7dbl_5",
+                                  "branch_pool"],
+                     "Mixed_7a": ["branch3x3_1", "branch3x3_2",
+                                  "branch7x7x3_1", "branch7x7x3_2",
+                                  "branch7x7x3_3", "branch7x7x3_4"],
+                     "Mixed_7b": ["branch1x1", "branch3x3_1", "branch3x3_2a",
+                                  "branch3x3_2b", "branch3x3dbl_1",
+                                  "branch3x3dbl_2", "branch3x3dbl_3a",
+                                  "branch3x3dbl_3b", "branch_pool"],
+                 }.items() for br in branches])
+  # 5c/5d mirror 5b; 6c-6e mirror 6b; 7c mirrors 7b
+  clones = {"Mixed_5c": "Mixed_5b", "Mixed_5d": "Mixed_5b",
+            "Mixed_6c": "Mixed_6b", "Mixed_6d": "Mixed_6b",
+            "Mixed_6e": "Mixed_6b", "Mixed_7c": "Mixed_7b"}
+  for dst, src in clones.items():
+    fid_modules += [m.replace(src, dst) for m in fid_modules
+                    if m.startswith(src + ".")]
+
+  out, missing = {}, []
+  for m in fid_modules:
+    unit = _tf_unit_name(m)
+    w = find(unit, [".conv.weight", ".weight", ".w"])
+    beta = find(unit, [".bn.bias", ".bn.beta", ".beta", ".bias"])
+    mean = find(unit, [".bn.running_mean", ".bn.mean", ".mean",
+                       ".running_mean"])
+    var = find(unit, [".bn.running_var", ".bn.var", ".var", ".running_var"])
+    gamma = find(unit, [".bn.weight", ".bn.gamma", ".gamma"])
+    if w is None or beta is None or mean is None or var is None:
+      missing.append((m, unit))
+      continue
+    out[f"{m}.conv.weight"] = w
+    out[f"{m}.bn.weight"] = (gamma if gamma is not None
+                             else torch.ones_like(beta))
+    out[f"{m}.bn.bias"] = beta
+    out[f"{m}.bn.running_mean"] = mean
+    out[f"{m}.bn.running_var"] = var
+
+  fc_w = find("output", [".weight", ".fc.weight", ".w"])
+  fc_b = find("output", [".bias", ".fc.bias", ".b"])
+  if fc_w is None or fc_b is None:
+    missing.append(("fc", "output"))
+  else:
+    out["fc.weight"] = fc_w
+    out["fc.bias"] = fc_b
+
+  if missing:
+    sample = sorted(norm)[:20]
+    raise KeyError(
+        f"torchscript layout: {len(missing)} units unresolved "
+        f"(first: {missing[:5]}); available keys start with {sample}. "
+        "Adapt the suffix tables in torchscript_to_fid_state_dict.")
+  return out
+
+
 def convert_torch_state_dict(state_dict, save_path: str):
   """Convert a pytorch-fid InceptionV3 state_dict (torch tensors) to the
   serialized flax variables this module loads. Run offline where torch

@@ -27,17 +27,28 @@ def main():
 
   import torch
 
+  os.environ.setdefault("JAX_PLATFORMS", "cpu")
+  from indm_tpu.metrics import inception
+
   if args.src:
-    obj = torch.load(args.src, map_location="cpu", weights_only=False)
-    state_dict = obj.state_dict() if hasattr(obj, "state_dict") else obj
+    try:
+      # cleanfid torchscript archive (`inception-2015-12-05.pt`,
+      # /root/reference/cleanfid/features.py:13-48): tfhub graph names
+      ts = torch.jit.load(args.src, map_location="cpu")
+      named = dict(ts.named_parameters())
+      named.update(dict(ts.named_buffers()))
+      state_dict = inception.torchscript_to_fid_state_dict(named)
+    except RuntimeError:
+      obj = torch.load(args.src, map_location="cpu", weights_only=False)
+      state_dict = obj.state_dict() if hasattr(obj, "state_dict") else obj
+      if any(k.split(".")[0].startswith(("mixed", "conv", "layers", "output"))
+             for k in state_dict):
+        state_dict = inception.torchscript_to_fid_state_dict(state_dict)
   else:
     # pytorch-fid's canonical weights (requires network access)
     url = ("https://github.com/mseitzer/pytorch-fid/releases/download/"
            "fid_weights/pt_inception-2015-12-05-6726825d.pth")
     state_dict = torch.hub.load_state_dict_from_url(url, map_location="cpu")
-
-  os.environ.setdefault("JAX_PLATFORMS", "cpu")
-  from indm_tpu.metrics import inception
 
   inception.convert_torch_state_dict(state_dict, args.out)
   print(f"wrote {args.out}; set INDM_INCEPTION_WEIGHTS={os.path.abspath(args.out)}")

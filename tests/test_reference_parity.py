@@ -505,3 +505,117 @@ def test_spectral_norm_conv_sigma_vs_reference():
   y_j, _ = layer.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
   np.testing.assert_allclose(np.asarray(y_j).transpose(0, 3, 1, 2), y_ref,
                              rtol=1e-4, atol=1e-5)
+
+
+def test_torchscript_layout_converter_roundtrip(tmp_path):
+  """`torchscript_to_fid_state_dict` (the cleanfid `inception-2015-12-05.pt`
+  tfhub-name layout, `/root/reference/cleanfid/features.py:13-48`): a
+  pytorch-fid state_dict renamed to tfhub graph names must convert back to
+  EXACTLY the same flax weights as the direct path, and omitting the BN
+  gamma (TF inception fixes scale=1) must synthesize ones."""
+  from indm_tpu.metrics import inception
+
+  import torchvision_inception_stub
+  torchvision_inception_stub.install()
+  ip = ref_module("cleanfid.inception_pytorch")
+
+  # deterministic random fid net (reuse the stubbed architecture)
+  torch.manual_seed(0)
+  net = ip.fid_inception_v3.__wrapped__() if hasattr(
+      ip.fid_inception_v3, "__wrapped__") else None
+  if net is None:
+    # fid_inception_v3 downloads weights; build via InceptionV3 pieces
+    # by monkeypatching the loader like the main parity test does
+    orig_load = torch.nn.Module.load_state_dict
+    ip.load_state_dict_from_url = lambda *a, **k: None
+    torch.nn.Module.load_state_dict = (
+        lambda self, sd, strict=True: None if sd is None
+        else orig_load(self, sd, strict=strict))
+    try:
+      net = ip.fid_inception_v3()
+    finally:
+      torch.nn.Module.load_state_dict = orig_load
+  sd = net.state_dict()
+
+  # rename to the tfhub layout (inverse of the converter's table)
+  ts_named = {}
+  for k, v in sd.items():
+    if k.startswith("fc."):
+      ts_named["output." + k.split(".", 1)[1]] = v
+      continue
+    if k.endswith("num_batches_tracked"):
+      continue
+    mod, leaf = k.rsplit(".", 2)[0], ".".join(k.rsplit(".", 2)[1:])
+    unit = inception._tf_unit_name(mod)
+    suffix = {"conv.weight": ".conv.weight", "bn.weight": ".bn.weight",
+              "bn.bias": ".bn.bias", "bn.running_mean": ".bn.running_mean",
+              "bn.running_var": ".bn.running_var"}[leaf]
+    # exercise the prefix stripping too
+    ts_named["layers." + unit + suffix] = v
+
+  fid_sd = inception.torchscript_to_fid_state_dict(ts_named)
+  p_direct = str(tmp_path / "direct.npz")
+  p_ts = str(tmp_path / "ts.npz")
+  inception.convert_torch_state_dict(
+      {k: v for k, v in sd.items()
+       if not k.endswith("num_batches_tracked")}, p_direct)
+  inception.convert_torch_state_dict(fid_sd, p_ts)
+  a = inception.load_params(p_direct)
+  b = inception.load_params(p_ts)
+  for la, lb in zip(jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b)):
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+  # gamma-less layout (the actual TF graph): synthesized ones load and run
+  ts_nog = {k: v for k, v in ts_named.items() if not k.endswith("bn.weight")}
+  fid_nog = inception.torchscript_to_fid_state_dict(ts_nog)
+  gname = "Mixed_5b.branch1x1.bn.weight"
+  np.testing.assert_array_equal(
+      np.asarray(fid_nog[gname]), np.ones_like(np.asarray(fid_nog[gname])))
+
+
+def test_inception_score_from_logits_through_converter(tmp_path):
+  """IS computed from the converted flax logits must match IS from the
+  reference torch logits (the tfgan-style IS path, `evaluation.py:274-337`)
+  on the same inputs."""
+  from indm_tpu.metrics import inception, inception_score
+
+  import torchvision_inception_stub
+  torchvision_inception_stub.install()
+  ip = ref_module("cleanfid.inception_pytorch")
+  orig_load = torch.nn.Module.load_state_dict
+  ip.load_state_dict_from_url = lambda *a, **k: None
+  torch.nn.Module.load_state_dict = (
+      lambda self, sd, strict=True: None if sd is None
+      else orig_load(self, sd, strict=strict))
+  try:
+    net = ip.fid_inception_v3()
+  finally:
+    torch.nn.Module.load_state_dict = orig_load
+  gen = torch.Generator().manual_seed(3)
+  with torch.no_grad():
+    for p in net.parameters():
+      fan_in = max(int(np.prod(p.shape[1:])), 1)
+      p.copy_(torch.randn(p.shape, generator=gen) / math.sqrt(fan_in))
+  net.eval()
+
+  ip.fid_inception_v3 = lambda: net
+  wrapper = ip.InceptionV3(output_blocks=[3], resize_input=False,
+                           normalize_input=True)
+  wrapper.eval()
+  x = np.random.RandomState(11).rand(4, 3, 299, 299).astype(np.float32)
+  with torch.no_grad():
+    pool_t = t2n(wrapper(torch.from_numpy(x))[0]).reshape(4, -1)
+    logits_t = t2n(net.fc(torch.from_numpy(pool_t)))
+
+  path = str(tmp_path / "is_parity.npz")
+  inception.convert_torch_state_dict(
+      {k: v for k, v in net.state_dict().items()
+       if not k.endswith("num_batches_tracked")}, path)
+  params = inception.load_params(path)
+  _, logits_j = inception.InceptionV3FID().apply(
+      params, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+  is_ref = inception_score(logits_t)
+  is_jax = inception_score(np.asarray(logits_j))
+  np.testing.assert_allclose(is_jax, is_ref, rtol=1e-4)

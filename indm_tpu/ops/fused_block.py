@@ -207,8 +207,13 @@ def _fwd_body(preact, has_hp, offset, table_len, cdt, bt, h, w, c,
 
   # ---- one J^T u application + the Hutchinson dot ----
   jtu = jt(u.astype(cdt)).astype(f32)
-  ld_ref[:] = jnp.sum((jtu * eps_ref[:].astype(f32)).reshape(bt, -1),
-                      axis=-1, keepdims=True)
+  # per-sample scalar reductions into SMEM (the documented reduce-to-scalar
+  # pattern; a (bt,1,1,1) keepdims VMEM reduction crashes Mosaic's layout
+  # inference at some geometries)
+  prod = jtu * eps_ref[:].astype(f32)
+  ig = pl.program_id(0)
+  for i in range(bt):
+    ld_ref[0, ig * bt + i] = jnp.sum(prod[i])
 
 
 @functools.partial(
@@ -258,17 +263,27 @@ def fused_block_fwd_pallas(x, vareps, n, table, f0p, f1, f2p, w2t_p, w1t,
       grid=grid,
       in_specs=in_specs,
       out_specs=(tile4(),
-                 pl.BlockSpec((bt, 1), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM),
+                 # per-sample scalars: a FULL-array SMEM output (full
+                 # blocks always satisfy the layout rule) indexed by
+                 # program_id — (bt, ...) sub-blocks violate Mosaic's
+                 # sublane divisibility for bt not in {8k, b}
+                 pl.BlockSpec((1, b), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM),
                  tile4()),
       out_shape=(jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
-                 jax.ShapeDtypeStruct((b, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((1, b), jnp.float32),
                  jax.ShapeDtypeStruct((b, h, w, c), jnp.float32)),
       compiler_params=pltpu.CompilerParams(
-          dimension_semantics=("parallel",)),
+          # the shared SMEM output block forces ordered execution
+          dimension_semantics=("arbitrary",),
+          # the resident set (4 wide diagonals + chain temps + weights) at
+          # one 32x32 sample per tile slightly exceeds the default 16 MB
+          # scoped-vmem budget; raise it (v5e has headroom beyond the
+          # conservative default)
+          vmem_limit_bytes=64 * 1024 * 1024),
       interpret=interpret,
   )(*args)
-  return y, ld[:, 0], u
+  return y, ld[0], u
 
 
 # ---------------------------------------------------------------------------
@@ -303,7 +318,7 @@ def _make_bwd_body(preact, has_hp, cdt, bt, h, w, c):
     xt = x_ref[:]
     eps = eps_ref[:].astype(cdt)
     ybar = ybar_ref[:].astype(cdt)
-    v = (lbar_ref[:][:, :, None, None] * u_ref[:]).astype(cdt)
+    v = (lbar_ref[:] * u_ref[:]).astype(cdt)   # lbar is (bt,1,1,1)
 
     # ---- primal recompute ----
     if preact:
@@ -406,9 +421,9 @@ def fused_block_bwd_pallas(x, vareps, u, ybar, lbar, f0p, f1, w2t_p, w1t,
                                            (0,) * nd)(len(shape)),
                                    memory_space=pltpu.VMEM)
   in_specs = [tile4(), tile4(), tile4(), tile4(),
-              pl.BlockSpec((bt, 1), lambda i: (i, 0),
+              pl.BlockSpec((bt, 1, 1, 1), lambda i: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)]
-  args = [x, vareps, u, ybar, lbar.reshape(b, 1)]
+  args = [x, vareps, u, ybar, lbar.reshape(b, 1, 1, 1)]
   if has_hp:
     in_specs.append(pl.BlockSpec((bt, 1, hp.shape[-1]),
                                  lambda i: (i, 0, 0),
@@ -446,7 +461,8 @@ def fused_block_bwd_pallas(x, vareps, u, ybar, lbar, f0p, f1, w2t_p, w1t,
       compiler_params=pltpu.CompilerParams(
           # weight-grad accumulators alias one block across all grid
           # cells -> the grid must execute in order
-          dimension_semantics=("arbitrary",)),
+          dimension_semantics=("arbitrary",),
+          vmem_limit_bytes=96 * 1024 * 1024),
       interpret=interpret,
   )(*args)
   xbar, w0g, w1g, w2g, b0g, b1g, b2g = outs[:7]

@@ -73,6 +73,7 @@ def main():
   cfg.flow.logdet_bf16 = bool(int(os.environ.get("PF_BF16", "1")))
   cfg.flow.mixed_precision = bool(int(os.environ.get("PF_MP", "1")))
   cfg.flow.logdet_pallas = bool(int(os.environ.get("PF_PALLAS", "0")))
+  cfg.flow.fused_block = bool(int(os.environ.get("PF_FUSED", "0")))
 
   fm = create_flow_model(cfg)
   params, buffers = fm.init(jax.random.PRNGKey(0))

@@ -66,6 +66,7 @@ activation, D_i = diag(sigma'(z_i))):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -80,15 +81,48 @@ from indm_tpu.ops.neumann_pallas import (_apply_packed, _pick_batch_tile,
 
 _TWO_PI = 2.0 * np.pi
 
+# Minimax fits for sin(u) (odd, deg 7) / cos(u) (even, deg 8) on
+# [-pi/2, pi/2]; max abs err 2.3e-6 / 2.0e-7 over all f32 inputs after the
+# period-1 range reduction (least-squares fit validated on a 2e5 grid).
+_SIN_C = (-0.1666584, 0.00831458, -0.00018561)
+_COS_C = (-0.499999464, 0.0416643988, -0.00138592018, 2.32717084e-05)
+
+# Mosaic's sin/cos intrinsics are ~6x slower than XLA:TPU's (measured: a
+# 13.3 ms/block FIXED cost in the fused forward kernel, dominated by the
+# four transcendental passes). The activation is sin(2*pi*z) — period 1 —
+# so one round() range-reduction + short polynomials replaces both.
+# INDM_SLOW_SINCOS=1 restores the intrinsics (A/B benching + debugging).
+_USE_POLY = os.environ.get("INDM_SLOW_SINCOS", "0") != "1"
+
+
+def _sincos(z):
+  """Returns (sigma(z), sigma'(z)) = (sin(2 pi z)/(2 pi), cos(2 pi z)).
+
+  Shared range reduction: with q = round(2z), s = z - q/2, u = 2 pi s in
+  [-pi/2, pi/2]: sin(2 pi z) = (-1)^q sin(u), cos(2 pi z) = (-1)^q cos(u).
+  """
+  zf = z.astype(jnp.float32)
+  if not _USE_POLY:
+    return ((jnp.sin(_TWO_PI * zf) / _TWO_PI).astype(z.dtype),
+            jnp.cos(_TWO_PI * zf).astype(z.dtype))
+  q = jnp.round(2.0 * zf)
+  s = zf - 0.5 * q
+  u = _TWO_PI * s
+  u2 = u * u
+  sign = 1.0 - 2.0 * (q - 2.0 * jnp.floor(0.5 * q))
+  sp = u * (1.0 + u2 * (_SIN_C[0] + u2 * (_SIN_C[1] + u2 * _SIN_C[2])))
+  cp = 1.0 + u2 * (_COS_C[0] + u2 * (_COS_C[1]
+                                     + u2 * (_COS_C[2] + u2 * _COS_C[3])))
+  return ((sign * (1.0 / _TWO_PI)) * sp).astype(z.dtype), \
+      (sign * cp).astype(z.dtype)
+
 
 def _sin(z):
-  zf = z.astype(jnp.float32)
-  return (jnp.sin(_TWO_PI * zf) / np.pi * 0.5).astype(z.dtype)
+  return _sincos(z)[0]
 
 
 def _cos(z):
-  zf = z.astype(jnp.float32)
-  return jnp.cos(_TWO_PI * zf).astype(z.dtype)
+  return _sincos(z)[1]
 
 
 def _patches_narrow(x, reverse: bool, in_kernel: bool):
@@ -161,21 +195,18 @@ def _fwd_body(preact, has_hp, offset, table_len, cdt, bt, h, w, c,
   # ---- forward: every sin/cos evaluated exactly once ----
   if preact:
     xc = xt.astype(cdt)
-    d0 = _cos(xc)
-    s0 = _sin(xc)
+    s0, d0 = _sincos(xc)
   else:
     d0 = None
     s0 = xt.astype(cdt)
   z1 = _apply_packed(s0, f0_ref[:], "narrow_in", f32).astype(cdt)
   z1 = z1 + b0_ref[:]
-  d1 = _cos(z1)
-  s1 = _sin(z1)
+  s1, d1 = _sincos(z1)
   if has_hp:
     s1 = s1 + hp_ref[:][:, :, None, :]
   z2 = _apply_packed(s1, f1_ref[:], "mat", f32).astype(cdt)
   z2 = z2 + b1_ref[:]
-  d2 = _cos(z2)
-  s2 = _sin(z2)
+  s2, d2 = _sincos(z2)
   g = _apply_packed(s2, f2_ref[:], "narrow_out", f32)     # f32
   g = g + b2_ref[:].astype(f32)
   y_ref[:] = xt.astype(f32) + g
@@ -323,20 +354,17 @@ def _make_bwd_body(preact, has_hp, cdt, bt, h, w, c):
     # ---- primal recompute ----
     if preact:
       xc = xt.astype(cdt)
-      d0 = _cos(xc)
-      s0 = _sin(xc)
+      s0, d0 = _sincos(xc)
     else:
       d0 = None
       s0 = xt.astype(cdt)
     z1 = _apply_packed(s0, f0_ref[:], "narrow_in", f32).astype(cdt)
     z1 = z1 + b0_ref[:]
-    d1 = _cos(z1)
-    sin1 = _sin(z1)                      # sigma(z1); sigma'' = -(2pi)^2 * it
+    sin1, d1 = _sincos(z1)               # sigma(z1); sigma'' = -(2pi)^2 * it
     s1 = sin1 + hp_ref[:][:, :, None, :] if has_hp else sin1
     z2 = _apply_packed(s1, f1_ref[:], "mat", f32).astype(cdt)
     z2 = z2 + b1_ref[:]
-    d2 = _cos(z2)
-    s2 = _sin(z2)
+    s2, d2 = _sincos(z2)
 
     # ---- tangent chain J eps (forward direction) ----
     t0 = d0 * eps if preact else eps
@@ -552,14 +580,18 @@ def fused_block_reference(x, nws, bs, hp, vareps, n, table, offset,
   `IResBlock._logdetgrad` (neumann_grad, train)."""
   from indm_tpu.flows import lipschitz as lip
 
+  # exact intrinsic sine: this oracle is the parity TARGET for the
+  # polynomial in-kernel _sincos, so it must not share the approximation
+  exact_sin = lambda t: jnp.sin(_TWO_PI * t) / _TWO_PI
+
   def g_fn(xx):
-    t = _sin(xx) if preact else xx
+    t = exact_sin(xx) if preact else xx
     t = lip.lipschitz_conv_apply(t, nws[0], 3) + bs[0]
-    t = _sin(t)
+    t = exact_sin(t)
     if hp is not None:
       t = t + hp[:, None, None, :]
     t = lip.lipschitz_conv_apply(t, nws[1], 1) + bs[1]
-    t = _sin(t)
+    t = exact_sin(t)
     return lip.lipschitz_conv_apply(t, nws[2], 3) + bs[2]
 
   _, vjp = jax.vjp(g_fn, x)

@@ -65,6 +65,9 @@ def main():
   # custom-VJP fused block kernel pair (fwd+chain in one Pallas kernel,
   # complete backward in another; indm_tpu/ops/fused_block.py).
   cfg.flow.fused_block = bool(int(os.environ.get("BENCH_FUSED_BLOCK", "1")))
+  # bf16 score-net convs/attention with f32 master params + f32 norms.
+  cfg.model.mixed_precision = bool(int(os.environ.get("BENCH_SCORE_MP",
+                                                      "1")))
 
   rng = jax.random.PRNGKey(0)
   module, variables = create_model(cfg, rng)
@@ -233,6 +236,10 @@ def main():
     cfg.flow.logdet_bf16 = False
     cfg.flow.mixed_precision = False
     cfg.flow.logdet_pallas = False
+    cfg.flow.fused_block = False
+    # NCSNpp reads config at apply time: clearing this before re-tracing
+    # gives the f32 score net for the faithful measurement
+    cfg.model.mixed_precision = False
     flow_f32 = create_flow_model(cfg)
     fs32 = state_lib.init_train_state(
         cfg, *flow_f32.init(jax.random.PRNGKey(1)), flow_opt,

@@ -88,6 +88,10 @@ def get_default_configs(dataset: str = "CIFAR10") -> ml_collections.ConfigDict:
 
   # model
   config.model = model = ml_collections.ConfigDict()
+  # TPU mixed precision for the score net: convs/attention compute in bf16
+  # (f32 master params, f32 GroupNorm stats/output). Reference-faithful
+  # default is pure f32; bench.py enables this for the TPU-first headline.
+  model.mixed_precision = False
   model.sigma_min = 0.01
   model.sigma_max = 50 if dataset == "CIFAR10" else 90.0
   model.num_scales = 1000

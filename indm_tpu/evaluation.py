@@ -7,6 +7,20 @@ reference's per-GPU tf.device sharding, `evaluation.py:119-158`), dataset
 statistics load from `assets/stats/*.npz` or are computed+cached from the
 on-disk dataset, and every artifact (latents, statistics, reports) is an
 idempotent npz cache (SURVEY.md §5.3).
+
+On the reference's SECOND feature extractor — the tfgan tfhub module
+(`/root/reference/evaluation.py:35-50`, `tfgan/eval/inception/1`,
+`inceptionv3=False` for every image_size < 256 dataset INDM trains on):
+that tfhub graph is the SAME frozen 2015 "OpenAI-IS" Inception network
+that clean-fid's torchscript `inception-2015-12-05.pt` wraps
+(`cleanfid/features.py:13-48` downloads the torchscript trace of it).
+Our single flax `InceptionV3FID` + the torchscript-layout converter
+(`scripts/convert_inception.py`) therefore covers BOTH reference paths:
+`pool_3` features for FID/KID and `logits` for the tfgan-style IS
+(`indm_tpu.metrics.fid.inception_score`). The
+`inceptionv3=True` tfhub branch (imagenet feature_vector, only used at
+image_size >= 256) is out of INDM's trained-config envelope and is not
+ported.
 """
 
 from __future__ import annotations

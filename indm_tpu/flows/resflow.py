@@ -501,10 +501,11 @@ class IResBlock:
   def _g(self, params, x, h):
     return self.nnet.apply(params["nnet"], x, h=h)
 
-  def forward(self, params, x, logpx=None, h=None, rng=None, train=False):
+  def forward(self, params, x, logpx=None, h=None, rng=None, train=False,
+              noise=None):
     if logpx is None:
       return x + self._g(params, x, h), None
-    g, logdet = self._logdetgrad(params, x, h, rng, train)
+    g, logdet = self._logdetgrad(params, x, h, rng, train, noise=noise)
     return x + g, logpx - logdet
 
   def inverse(self, params, y, logpy=None, h=None, rng=None, train=False):
@@ -598,11 +599,20 @@ class IResBlock:
         eps, dacts, weights_t, n, offset, table, preact=preact,
         interpret=interpret)
 
-  def _logdetgrad(self, params, x, h, rng, train):
-    """g(x) and an estimator of logdet|d(x+g)/dx| (`iresblock.py:81-164`)."""
+  def _logdetgrad(self, params, x, h, rng, train, noise=None):
+    """g(x) and an estimator of logdet|d(x+g)/dx| (`iresblock.py:81-164`).
+
+    `noise=(vareps, n)` supplies PRE-SAMPLED estimator randomness
+    (ScannedIResBlocks hoists the sampling out of the scan body as one
+    batched draw — bit-identical values, but sampled once instead of
+    per-block-sequentially and not recomputed by the remat backward)."""
     b = x.shape[0]
-    rng_n, rng_eps = jax.random.split(rng)
-    vareps = jax.random.normal(rng_eps, x.shape)
+    if noise is not None:
+      vareps, n_presampled = noise
+    else:
+      rng_n, rng_eps = jax.random.split(rng)
+      vareps = jax.random.normal(rng_eps, x.shape)
+      n_presampled = None
 
     if self.n_power_series is not None:
       # Truncated (biased) estimator: fixed length, coeff = 1.
@@ -610,7 +620,8 @@ class IResBlock:
       coeff = lambda k: jnp.asarray(1.0)
     else:
       offset = self.n_exact_terms if train else 20
-      n = self._sample_n(rng_n)
+      n = (n_presampled if n_presampled is not None
+           else self._sample_n(rng_n))
       n_pow = n + offset
       coeff = self._coeffs(n, offset)
 
@@ -836,12 +847,38 @@ class ScannedIResBlocks:
     has_logp = logpx is not None
     lp0 = logpx if has_logp else jnp.zeros((x.shape[0],), x.dtype)
 
-    def body(carry, xs):
-      xc, lp = carry
-      p, k = xs
-      xc, lp_out = self.block.forward(p, xc, lp if has_logp else None,
-                                      h=h, rng=k, train=train)
-      return (xc, lp_out if has_logp else lp), None
+    if has_logp and isinstance(self.block, IResBlock):
+      # Hoist the estimator randomness out of the scan: one batched draw
+      # replaces n sequential in-body draws (and the remat backward no
+      # longer re-draws them). vmap over the SAME per-block keys the body
+      # would have split makes the values bit-identical to in-body
+      # sampling (threefry is a pure function of key+shape).
+      pair = jax.vmap(jax.random.split)(keys)
+      vareps_all = jax.vmap(
+          lambda k: jax.random.normal(k, x.shape))(pair[:, 1])
+      if self.block.n_power_series is None:
+        n_all = jax.vmap(self.block._sample_n)(pair[:, 0])
+      else:
+        n_all = jnp.zeros((self.n,), jnp.int32)
+
+      def body(carry, xs):
+        xc, lp = carry
+        p, veps, nb = xs
+        xc, lp_out = self.block.forward(p, xc, lp, h=h, train=train,
+                                        noise=(veps, nb))
+        return (xc, lp_out), None
+
+      xs = (params, vareps_all, n_all)
+    else:
+
+      def body(carry, xs):
+        xc, lp = carry
+        p, k = xs
+        xc, lp_out = self.block.forward(p, xc, lp if has_logp else None,
+                                        h=h, rng=k, train=train)
+        return (xc, lp_out if has_logp else lp), None
+
+      xs = (params, keys)
 
     if self.remat:
       # Save the per-block Neumann outputs (block-input-sized, tiny) so the
@@ -853,7 +890,7 @@ class ScannedIResBlocks:
       body = jax.checkpoint(
           body,
           policy=jax.checkpoint_policies.save_only_these_names(*names))
-    (x, lp), _ = jax.lax.scan(body, (x, lp0), (params, keys))
+    (x, lp), _ = jax.lax.scan(body, (x, lp0), xs)
     return x, (lp if has_logp else None)
 
   def inverse(self, params, y, logpy=None, h=None, rng=None, train=False):

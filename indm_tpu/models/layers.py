@@ -7,6 +7,8 @@ contractions (MXU-friendly), initializers expressed as flax initializers.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import math
 from typing import Any, Callable, Optional, Sequence, Tuple
 
@@ -39,12 +41,40 @@ def default_init(scale: float = 1.0):
   return nn.initializers.variance_scaling(scale, "fan_avg", "uniform")
 
 
+# ---------------------------------------------------------------------------
+# Mixed-precision compute dtype (TPU-first; no reference counterpart).
+#
+# A trace-time scope: when set to bfloat16, every conv/NIN/attention matmul
+# created inside it computes at MXU bf16 rate with f32 master params
+# (flax `dtype=` casts inputs+params for compute only) and f32 accumulation
+# for the einsums; GroupNorm statistics stay f32 (flax upcasts internally).
+# Models opt in per-apply (`model.mixed_precision`), so golden tests and the
+# reference-faithful configuration are untouched by default.
+# ---------------------------------------------------------------------------
+
+_COMPUTE_DTYPE = contextvars.ContextVar("score_compute_dtype", default=None)
+
+
+def compute_dtype():
+  return _COMPUTE_DTYPE.get()
+
+
+@contextlib.contextmanager
+def compute_dtype_scope(dtype):
+  token = _COMPUTE_DTYPE.set(dtype)
+  try:
+    yield
+  finally:
+    _COMPUTE_DTYPE.reset(token)
+
+
 def conv3x3(out_ch: int, init_scale: float = 1.0, stride: int = 1,
             bias: bool = True, padding="SAME", name=None) -> nn.Conv:
   """3x3 conv with DDPM init (`models/layers.py:118-124`)."""
   return nn.Conv(out_ch, (3, 3), strides=(stride, stride), padding=padding,
                  use_bias=bias, kernel_init=default_init(init_scale),
-                 bias_init=nn.initializers.zeros, name=name)
+                 bias_init=nn.initializers.zeros, name=name,
+                 dtype=compute_dtype())
 
 
 def conv1x1(out_ch: int, init_scale: float = 1.0, stride: int = 1,
@@ -52,7 +82,8 @@ def conv1x1(out_ch: int, init_scale: float = 1.0, stride: int = 1,
   """1x1 conv with DDPM init (`models/layers.py:100-105`)."""
   return nn.Conv(out_ch, (1, 1), strides=(stride, stride), padding="SAME",
                  use_bias=bias, kernel_init=default_init(init_scale),
-                 bias_init=nn.initializers.zeros, name=name)
+                 bias_init=nn.initializers.zeros, name=name,
+                 dtype=compute_dtype())
 
 
 def get_timestep_embedding(timesteps: jnp.ndarray, embedding_dim: int,
@@ -81,6 +112,11 @@ class NIN(nn.Module):
     W = self.param("W", default_init(self.init_scale),
                    (in_dim, self.num_units))
     b = self.param("b", nn.initializers.zeros, (self.num_units,))
+    cd = compute_dtype()
+    if cd is not None:
+      y = jnp.einsum("...c,cd->...d", x.astype(cd), W.astype(cd),
+                     preferred_element_type=jnp.float32)
+      return y + b
     return jnp.einsum("...c,cd->...d", x, W) + b
 
 
@@ -143,11 +179,21 @@ class AttnBlockpp(nn.Module):
     q = NIN(C)(h)
     k = NIN(C)(h)
     v = NIN(C)(h)
-    w = jnp.einsum("bhwc,bijc->bhwij", q, k) * (int(C) ** (-0.5))
-    w = w.reshape(B, H, W, H * W)
-    w = jax.nn.softmax(w, axis=-1)
-    w = w.reshape(B, H, W, H, W)
-    h = jnp.einsum("bhwij,bijc->bhwc", w, v)
+    cd = compute_dtype()
+    if cd is not None:
+      # bf16 MXU matmuls with f32 logits/softmax/accumulation
+      w = jnp.einsum("bhwc,bijc->bhwij", q.astype(cd), k.astype(cd),
+                     preferred_element_type=jnp.float32) * (int(C) ** (-0.5))
+      w = jax.nn.softmax(w.reshape(B, H, W, H * W), axis=-1)
+      w = w.reshape(B, H, W, H, W)
+      h = jnp.einsum("bhwij,bijc->bhwc", w.astype(cd), v.astype(cd),
+                     preferred_element_type=jnp.float32)
+    else:
+      w = jnp.einsum("bhwc,bijc->bhwij", q, k) * (int(C) ** (-0.5))
+      w = w.reshape(B, H, W, H * W)
+      w = jax.nn.softmax(w, axis=-1)
+      w = w.reshape(B, H, W, H, W)
+      h = jnp.einsum("bhwij,bijc->bhwc", w, v)
     h = NIN(C, init_scale=self.init_scale)(h)
     if not self.skip_rescale:
       return x + h

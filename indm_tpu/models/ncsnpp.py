@@ -31,6 +31,16 @@ class NCSNpp(nn.Module):
 
   @nn.compact
   def __call__(self, x, time_cond, train: bool = True):
+    # TPU mixed precision (model.mixed_precision): convs/attention at MXU
+    # bf16 rate with f32 master params, f32 GroupNorm stats + output. The
+    # reference trains pure f32; this is the TPU-first headline config and
+    # is off by default.
+    mp = bool(self.config.model.get("mixed_precision", False))
+    with layers.compute_dtype_scope(jnp.bfloat16 if mp else None):
+      h = self._impl(x, time_cond, train)
+    return h.astype(jnp.float32)
+
+  def _impl(self, x, time_cond, train: bool = True):
     config = self.config
     act = layers.get_act(config.model.nonlinearity)
     nf = config.model.nf

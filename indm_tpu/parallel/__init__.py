@@ -40,14 +40,15 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
   manual clusters. No-op (returns 1) when already initialized or when no
   coordinator is configured — single-process runs stay untouched."""
   import os
-  if jax.process_count() > 1:
-    return jax.process_count()
-  has_env = (coordinator_address is not None
+  # Explicit opt-in ONLY: a coordinator address (argument or env).
+  # TPU_WORKER_HOSTNAMES is NOT a trigger — single-host TPU VMs set it too,
+  # and jax.process_count() below initializes the backend, after which
+  # jax.distributed.initialize() always raises.
+  has_cfg = (coordinator_address is not None
              or os.environ.get("JAX_COORDINATOR_ADDRESS")
-             or os.environ.get("COORDINATOR_ADDRESS")
-             or os.environ.get("TPU_WORKER_HOSTNAMES"))
-  if not has_env:
-    return 1
+             or os.environ.get("COORDINATOR_ADDRESS"))
+  if not has_cfg:
+    return jax.process_count()
   kwargs = {}
   if coordinator_address is not None:
     kwargs["coordinator_address"] = coordinator_address
@@ -55,7 +56,15 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     kwargs["num_processes"] = num_processes
   if process_id is not None:
     kwargs["process_id"] = process_id
-  jax.distributed.initialize(**kwargs)
+  try:
+    jax.distributed.initialize(**kwargs)
+  except RuntimeError as e:
+    # Backend already initialized (e.g. a library touched jax first):
+    # proceed with whatever process topology is live instead of crashing a
+    # single-process run.
+    import logging
+    logging.warning("initialize_distributed: %s — continuing with "
+                    "process_count=%d", e, jax.process_count())
   return jax.process_count()
 
 

@@ -39,6 +39,9 @@ def main():
                                                    "1")))
   cfg.flow.fused_block = bool(int(os.environ.get("BENCH_FUSED_BLOCK", "1")))
 
+  if os.environ.get("BENCH_FLOW"):
+    cfg.flow.model = os.environ["BENCH_FLOW"]
+
   rng = jax.random.PRNGKey(0)
   module, variables = create_model(cfg, rng)
   sde = sde_lib.get_sde(cfg)
@@ -48,14 +51,20 @@ def main():
       cfg, variables["params"],
       {k: v for k, v in variables.items() if k != "params"},
       score_opt, jax.random.PRNGKey(2))
-  flow_opt = state_lib.make_optimizer(cfg, lr=cfg.flow.lr)
-  f_params, f_buffers = flow_model.init(jax.random.PRNGKey(1))
-  flow_state = state_lib.init_train_state(cfg, f_params, f_buffers,
-                                          flow_opt, jax.random.PRNGKey(3))
-  step = joint_lib.make_joint_step_fn(cfg, sde, module, flow_model,
-                                      score_opt, flow_opt, train=True)
   mesh = parallel.get_mesh()
-  state = parallel.replicate((score_state, flow_state), mesh)
+  if flow_model is None:
+    from indm_tpu import losses as losses_lib
+    step = losses_lib.make_score_step_fn(cfg, sde, module, score_opt,
+                                         train=True)
+    state = parallel.replicate(score_state, mesh)
+  else:
+    flow_opt = state_lib.make_optimizer(cfg, lr=cfg.flow.lr)
+    f_params, f_buffers = flow_model.init(jax.random.PRNGKey(1))
+    flow_state = state_lib.init_train_state(cfg, f_params, f_buffers,
+                                            flow_opt, jax.random.PRNGKey(3))
+    step = joint_lib.make_joint_step_fn(cfg, sde, module, flow_model,
+                                        score_opt, flow_opt, train=True)
+    state = parallel.replicate((score_state, flow_state), mesh)
   batch = np.random.default_rng(0).uniform(
       -1, 1, (batch_size, 32, 32, 3)).astype(np.float32)
   batch = parallel.shard_batch(batch, mesh)

@@ -40,6 +40,27 @@ def test_ncsnpp_vp_forward_shape(vp_cfg):
   assert np.isfinite(np.asarray(out)).all()
 
 
+def test_ncsnpp_mixed_precision_close_to_f32():
+  """model.mixed_precision: bf16 conv/attention compute with f32 master
+  params must return f32 outputs close to the pure-f32 forward (TPU-first
+  headline config; no reference counterpart)."""
+  cfg = tiny(get_config("vp/CIFAR10/indm_nll"))
+  rng = jax.random.PRNGKey(0)
+  module, variables = create_model(cfg, rng)
+  x = jax.random.normal(rng, (2, 16, 16, 3))
+  t = jnp.asarray([0.1, 0.9]) * 999
+  cfg.model.mixed_precision = False
+  y32 = np.asarray(module.apply(variables, x, t, train=False))
+  cfg.model.mixed_precision = True
+  try:
+    y16 = np.asarray(module.apply(variables, x, t, train=False))
+  finally:
+    cfg.model.mixed_precision = False
+  assert y16.dtype == np.float32
+  scale = np.abs(y32).max() + 1e-12
+  assert np.abs(y32 - y16).max() / scale < 2e-2
+
+
 def test_ncsnpp_ve_forward_shape_fir(ve_cfg):
   """VE path: fourier embedding + FIR resampling + progressive_input=residual
   + scale_by_sigma (`configs/ve/CIFAR10/indm.py:38-61`)."""

@@ -181,7 +181,7 @@ def pack_weights(nws, dtype):
 
 
 def _fwd_body(preact, has_hp, offset, table_len, cdt, bt, h, w, c,
-              n_ref, table_ref, x_ref, eps_ref, *refs):
+              debug_skip, n_ref, table_ref, x_ref, eps_ref, *refs):
   if has_hp:
     hp_ref, refs = refs[0], refs[1:]
   (f0_ref, f1_ref, f2_ref, w2t_ref, w1t_ref, w0t_ref,
@@ -192,21 +192,28 @@ def _fwd_body(preact, has_hp, offset, table_len, cdt, bt, h, w, c,
   eps = eps_ref[:].astype(cdt)
   n_val = n_ref[0, 0]
 
+  # debug_skip: STATIC timing-ablation knobs (scripts/bench_fused_kernel.py
+  # only — never set on the training path). "sincos" replaces the activation
+  # with a linear stand-in, "chain"/"jtu" skip estimator stages.
+  sincos = ((lambda z: (z * jnp.asarray(0.159, z.dtype),
+                        jnp.ones_like(z)))
+            if "sincos" in debug_skip else _sincos)
+
   # ---- forward: every sin/cos evaluated exactly once ----
   if preact:
     xc = xt.astype(cdt)
-    s0, d0 = _sincos(xc)
+    s0, d0 = sincos(xc)
   else:
     d0 = None
     s0 = xt.astype(cdt)
   z1 = _apply_packed(s0, f0_ref[:], "narrow_in", f32).astype(cdt)
   z1 = z1 + b0_ref[:]
-  s1, d1 = _sincos(z1)
+  s1, d1 = sincos(z1)
   if has_hp:
     s1 = s1 + hp_ref[:][:, :, None, :]
   z2 = _apply_packed(s1, f1_ref[:], "mat", f32).astype(cdt)
   z2 = z2 + b1_ref[:]
-  s2, d2 = _sincos(z2)
+  s2, d2 = sincos(z2)
   g = _apply_packed(s2, f2_ref[:], "narrow_out", f32)     # f32
   g = g + b2_ref[:].astype(f32)
   y_ref[:] = xt.astype(f32) + g
@@ -230,14 +237,20 @@ def _fwd_body(preact, has_hp, offset, table_len, cdt, bt, h, w, c,
         0, jnp.minimum(k, table_len - 1)]
     return v, acc + sign * coeff * v.astype(f32)
 
-  _, acc = lax.fori_loop(1, n_val + offset + 1, term,
-                         (eps, jnp.zeros((bt, h, w, c), f32)),
-                         unroll=False)
-  u = eps_ref[:].astype(f32) + acc
+  if "chain" in debug_skip:
+    u = eps_ref[:].astype(f32)
+  else:
+    _, acc = lax.fori_loop(1, n_val + offset + 1, term,
+                           (eps, jnp.zeros((bt, h, w, c), f32)),
+                           unroll=False)
+    u = eps_ref[:].astype(f32) + acc
   u_ref[:] = u
 
   # ---- one J^T u application + the Hutchinson dot ----
-  jtu = jt(u.astype(cdt)).astype(f32)
+  if "jtu" in debug_skip:
+    jtu = u
+  else:
+    jtu = jt(u.astype(cdt)).astype(f32)
   # per-sample scalar reductions into SMEM (the documented reduce-to-scalar
   # pattern; a (bt,1,1,1) keepdims VMEM reduction crashes Mosaic's layout
   # inference at some geometries)
@@ -250,12 +263,13 @@ def _fwd_body(preact, has_hp, offset, table_len, cdt, bt, h, w, c,
 @functools.partial(
     jax.jit,
     static_argnames=("offset", "preact", "interpret", "batch_tile",
-                     "compute_dtype"))
+                     "compute_dtype", "debug_skip"))
 def fused_block_fwd_pallas(x, vareps, n, table, f0p, f1, f2p, w2t_p, w1t,
                            w0t_p, b0, b1, b2, hp, offset: int,
                            preact: bool, compute_dtype=jnp.bfloat16,
                            batch_tile: Optional[int] = None,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           debug_skip: tuple = ()):
   """Returns (y [B,H,W,C] f32, logdet [B] f32, u [B,H,W,C] f32)."""
   b, h, w, c = x.shape
   bt = batch_tile or _pick_batch_tile(b, h * w)
@@ -263,7 +277,8 @@ def fused_block_fwd_pallas(x, vareps, n, table, f0p, f1, f2p, w2t_p, w1t,
   has_hp = hp is not None
 
   body = functools.partial(_fwd_body, preact, has_hp, offset,
-                           table.shape[-1], compute_dtype, bt, h, w, c)
+                           table.shape[-1], compute_dtype, bt, h, w, c,
+                           debug_skip)
 
   tile4 = lambda: pl.BlockSpec((bt, h, w, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -322,9 +337,16 @@ def fused_block_fwd_pallas(x, vareps, n, table, f0p, f1, f2p, w2t_p, w1t,
 # ---------------------------------------------------------------------------
 
 
-def _make_bwd_body(preact, has_hp, cdt, bt, h, w, c):
+def _make_bwd_body(preact, has_hp, cdt, bt, h, w, c, debug_skip=()):
   f32 = jnp.float32
   sig2 = np.float32(_TWO_PI * _TWO_PI)
+  # debug_skip: STATIC timing-ablation knobs (scripts/bench_fused_kernel.py
+  # only). "sincos" = linear activation stand-in, "wgrad" = skip the
+  # packed-conv weight-gradient outer products.
+  sincos = ((lambda z: (z * jnp.asarray(0.159, z.dtype),
+                        jnp.ones_like(z)))
+            if "sincos" in debug_skip else _sincos)
+  skip_wgrad = "wgrad" in debug_skip
 
   def body(x_ref, eps_ref, u_ref, ybar_ref, lbar_ref, *refs):
     if has_hp:
@@ -354,17 +376,17 @@ def _make_bwd_body(preact, has_hp, cdt, bt, h, w, c):
     # ---- primal recompute ----
     if preact:
       xc = xt.astype(cdt)
-      s0, d0 = _sincos(xc)
+      s0, d0 = sincos(xc)
     else:
       d0 = None
       s0 = xt.astype(cdt)
     z1 = _apply_packed(s0, f0_ref[:], "narrow_in", f32).astype(cdt)
     z1 = z1 + b0_ref[:]
-    sin1, d1 = _sincos(z1)               # sigma(z1); sigma'' = -(2pi)^2 * it
+    sin1, d1 = sincos(z1)               # sigma(z1); sigma'' = -(2pi)^2 * it
     s1 = sin1 + hp_ref[:][:, :, None, :] if has_hp else sin1
     z2 = _apply_packed(s1, f1_ref[:], "mat", f32).astype(cdt)
     z2 = z2 + b1_ref[:]
-    s2, d2 = _sincos(z2)
+    s2, d2 = sincos(z2)
 
     # ---- tangent chain J eps (forward direction) ----
     t0 = d0 * eps if preact else eps
@@ -377,10 +399,12 @@ def _make_bwd_body(preact, has_hp, cdt, bt, h, w, c):
 
     # ---- layer 2 ----
     # packed-conv weight grads: w2 packed [idim, 9c]; rows contract over M
-    g_pat = _patches_narrow(ybar, reverse=True, in_kernel=True)   # [M,9c]
-    v_pat = _patches_narrow(v, reverse=True, in_kernel=True)
-    w2g_ref[:] += (_wgrad(s2.reshape(M, -1), g_pat)
-                   + _wgrad(t2.reshape(M, -1), v_pat))
+    if not skip_wgrad:
+      g_pat = _patches_narrow(ybar, reverse=True, in_kernel=True)  # [M,9c]
+      v_pat = _patches_narrow(v, reverse=True, in_kernel=True)
+    if not skip_wgrad:
+      w2g_ref[:] += (_wgrad(s2.reshape(M, -1), g_pat)
+                     + _wgrad(t2.reshape(M, -1), v_pat))
     b2g_ref[:] += jnp.sum(ybar.reshape(M, -1).astype(f32), axis=0,
                           keepdims=True)
     s2b = _apply_packed(ybar, w2t_ref[:], "narrow_in", f32).astype(cdt)
@@ -389,8 +413,9 @@ def _make_bwd_body(preact, has_hp, cdt, bt, h, w, c):
     a2b = d2 * t2b
 
     # ---- layer 1 ----
-    w1g_ref[:] += (_wgrad(s1.reshape(M, -1), z2b.reshape(M, -1))
-                   + _wgrad(t1.reshape(M, -1), a2b.reshape(M, -1)))
+    if not skip_wgrad:
+      w1g_ref[:] += (_wgrad(s1.reshape(M, -1), z2b.reshape(M, -1))
+                     + _wgrad(t1.reshape(M, -1), a2b.reshape(M, -1)))
     b1g_ref[:] += jnp.sum(z2b.reshape(M, -1).astype(f32), axis=0,
                           keepdims=True)
     s1b = _apply_packed(z2b, w1t_ref[:], "mat", f32).astype(cdt)
@@ -402,10 +427,12 @@ def _make_bwd_body(preact, has_hp, cdt, bt, h, w, c):
     a1b = d1 * t1b
 
     # ---- layer 0 ----
-    s0_pat = _patches_narrow(s0, reverse=False, in_kernel=True)   # [M,9c]
-    t0_pat = _patches_narrow(t0, reverse=False, in_kernel=True)
-    w0g_ref[:] += (_wgrad(s0_pat, z1b.reshape(M, -1))
-                   + _wgrad(t0_pat, a1b.reshape(M, -1)))
+    if not skip_wgrad:
+      s0_pat = _patches_narrow(s0, reverse=False, in_kernel=True)  # [M,9c]
+      t0_pat = _patches_narrow(t0, reverse=False, in_kernel=True)
+    if not skip_wgrad:
+      w0g_ref[:] += (_wgrad(s0_pat, z1b.reshape(M, -1))
+                     + _wgrad(t0_pat, a1b.reshape(M, -1)))
     b0g_ref[:] += jnp.sum(z1b.reshape(M, -1).astype(f32), axis=0,
                           keepdims=True)
     s0b = _apply_packed(z1b, w0t_ref[:], "narrow_out", f32).astype(cdt)
@@ -422,12 +449,14 @@ def _make_bwd_body(preact, has_hp, cdt, bt, h, w, c):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("preact", "interpret", "batch_tile", "compute_dtype"))
+    static_argnames=("preact", "interpret", "batch_tile", "compute_dtype",
+                     "debug_skip"))
 def fused_block_bwd_pallas(x, vareps, u, ybar, lbar, f0p, f1, w2t_p, w1t,
                            w0t_p, b0, b1, hp, preact: bool,
                            compute_dtype=jnp.bfloat16,
                            batch_tile: Optional[int] = None,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           debug_skip: tuple = ()):
   """Returns (xbar, w0g_packed [9c,idim], w1g [idim,idim],
   w2g_packed [idim,9c], b0g [idim], b1g [idim], b2g [c], hbar [B,idim] or
   None) — all f32. Weight grads are in PACKED layout; `unpack_wgrads`
@@ -438,7 +467,8 @@ def fused_block_bwd_pallas(x, vareps, u, ybar, lbar, f0p, f1, w2t_p, w1t,
   has_hp = hp is not None
   idim = f1.shape[0]
 
-  body = _make_bwd_body(preact, has_hp, compute_dtype, bt, h, w, c)
+  body = _make_bwd_body(preact, has_hp, compute_dtype, bt, h, w, c,
+                        debug_skip)
 
   tile4 = lambda: pl.BlockSpec((bt, h, w, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)

@@ -54,11 +54,13 @@ def main():
   f0p, f1, f2p, w2t_p, w1t, w0t_p = fb.pack_weights((w0, w1, w2),
                                                     jnp.bfloat16)
 
+  skip = tuple(s for s in os.environ.get("BK_SKIP", "").split(",") if s)
+
   def run_fwd(bt):
     y, ld, u = fb.fused_block_fwd_pallas(
         x, eps, n, table, f0p, f1, f2p, w2t_p, w1t, w0t_p,
         b0, b1, b2, None, offset=offset, preact=True,
-        batch_tile=bt, interpret=interpret)
+        batch_tile=bt, interpret=interpret, debug_skip=skip)
     return y, ld, u
 
   def run_bwd(bt, u):
@@ -67,7 +69,7 @@ def main():
     return fb.fused_block_bwd_pallas(
         x, eps, u, ybar, lbar, f0p, f1, w2t_p, w1t, w0t_p,
         b0, b1, None, preact=True, batch_tile=bt,
-        interpret=interpret)
+        interpret=interpret, debug_skip=skip)
 
   def sync(o):
     leaf = jax.tree_util.tree_leaves(o)[0]

@@ -116,7 +116,7 @@ class NIN(nn.Module):
     if cd is not None:
       y = jnp.einsum("...c,cd->...d", x.astype(cd), W.astype(cd),
                      preferred_element_type=jnp.float32)
-      return y + b
+      return (y + b).astype(cd)
     return jnp.einsum("...c,cd->...d", x, W) + b
 
 
@@ -147,7 +147,13 @@ def fixed_fourier_projection(x):
 
 
 def group_norm(x_ch: int) -> nn.GroupNorm:
-  return nn.GroupNorm(num_groups=min(x_ch // 4, 32), epsilon=1e-6)
+  # dtype follows the mixed-precision scope: flax computes the statistics
+  # in f32 regardless (`_compute_stats` promotes), so bf16 here only changes
+  # the STORED activation dtype — halving the norm's HBM traffic and killing
+  # the f32<->bf16 convert passes around every conv (xprof round 3: ~15 ms
+  # of the 113 ms score step was convert/copy traffic at norm boundaries).
+  return nn.GroupNorm(num_groups=min(x_ch // 4, 32), epsilon=1e-6,
+                      dtype=compute_dtype())
 
 
 class Combine(nn.Module):
@@ -298,7 +304,8 @@ class ResnetBlockDDPMpp(nn.Module):
     h = conv3x3(out_ch)(h)
     if temb is not None:
       h += nn.Dense(out_ch, kernel_init=default_init(),
-                    bias_init=nn.initializers.zeros)(
+                    bias_init=nn.initializers.zeros,
+                    dtype=compute_dtype())(
                         self.act(temb))[:, None, None, :]
     h = self.act(group_norm(out_ch)(h))
     h = nn.Dropout(self.dropout)(h, deterministic=not train)
@@ -350,7 +357,8 @@ class ResnetBlockBigGANpp(nn.Module):
     h = conv3x3(out_ch)(h)
     if temb is not None:
       h += nn.Dense(out_ch, kernel_init=default_init(),
-                    bias_init=nn.initializers.zeros)(
+                    bias_init=nn.initializers.zeros,
+                    dtype=compute_dtype())(
                         self.act(temb))[:, None, None, :]
     h = self.act(group_norm(out_ch)(h))
     h = nn.Dropout(self.dropout)(h, deterministic=not train)

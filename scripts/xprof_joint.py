@@ -38,6 +38,8 @@ def main():
   cfg.flow.logdet_pallas = bool(int(os.environ.get("BENCH_LOGDET_PALLAS",
                                                    "1")))
   cfg.flow.fused_block = bool(int(os.environ.get("BENCH_FUSED_BLOCK", "1")))
+  cfg.model.mixed_precision = bool(int(os.environ.get("BENCH_SCORE_MP",
+                                                      "1")))
 
   if os.environ.get("BENCH_FLOW"):
     cfg.flow.model = os.environ["BENCH_FLOW"]

@@ -87,6 +87,19 @@ _TWO_PI = 2.0 * np.pi
 _SIN_C = (-0.1666584, 0.00831458, -0.00018561)
 _COS_C = (-0.499999464, 0.0416643988, -0.00138592018, 2.32717084e-05)
 
+# Batch-tile override for on-device A/B experiments:
+# INDM_FUSED_BT="1024:1,256:8" maps h*w -> batch tile (falls back to
+# _pick_batch_tile when the hw key is absent or the tile doesn't divide b).
+def _bt_override(b: int, hw: int):
+  spec = os.environ.get("INDM_FUSED_BT", "")
+  for entry in spec.split(","):
+    if ":" in entry:
+      k, v = entry.split(":")
+      if int(k) == hw and b % int(v) == 0:
+        return int(v)
+  return None
+
+
 # Mosaic's sin/cos intrinsics are ~6x slower than XLA:TPU's (measured: a
 # 13.3 ms/block FIXED cost in the fused forward kernel, dominated by the
 # four transcendental passes). The activation is sin(2*pi*z) — period 1 —
@@ -272,7 +285,7 @@ def fused_block_fwd_pallas(x, vareps, n, table, f0p, f1, f2p, w2t_p, w1t,
                            debug_skip: tuple = ()):
   """Returns (y [B,H,W,C] f32, logdet [B] f32, u [B,H,W,C] f32)."""
   b, h, w, c = x.shape
-  bt = batch_tile or _pick_batch_tile(b, h * w)
+  bt = batch_tile or _bt_override(b, h * w) or _pick_batch_tile(b, h * w)
   grid = (b // bt,)
   has_hp = hp is not None
 
@@ -462,7 +475,7 @@ def fused_block_bwd_pallas(x, vareps, u, ybar, lbar, f0p, f1, w2t_p, w1t,
   None) — all f32. Weight grads are in PACKED layout; `unpack_wgrads`
   restores HWIO."""
   b, h, w, c = x.shape
-  bt = batch_tile or _pick_batch_tile(b, h * w)
+  bt = batch_tile or _bt_override(b, h * w) or _pick_batch_tile(b, h * w)
   grid = (b // bt,)
   has_hp = hp is not None
   idim = f1.shape[0]

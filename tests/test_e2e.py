@@ -93,6 +93,98 @@ def test_in_training_snapshot_runs_full_eval(tmp_path, caplog):
   assert "NLL CORRECT" in caplog.text
 
 
+def test_standalone_eval_loop(tmp_path, caplog):
+  """`main.py --mode eval` path: `run_lib.evaluate` runs bpd -> sampling
+  rounds -> FID end-to-end from a trained workdir
+  (`/root/reference/run_lib.py:144-241`). Previously only the in-training
+  snapshot eval was covered."""
+  import logging
+
+  cfg = tiny_cfg(tmp_path)
+  cfg.training.n_iters = 2
+  cfg.training.snapshot_freq_for_preemption = 2
+  workdir = str(tmp_path / "work")
+  run_lib.train(cfg, workdir)
+
+  cfg.eval.enable_bpd = True
+  cfg.eval.enable_sampling = True
+  cfg.eval.num_nelbo = 1
+  cfg.eval.batch_size = 64
+  cfg.eval.num_samples = 8
+  cfg.eval.skip_nll_wrong = True
+  cfg.sampling.batch_size = 8
+  cfg.sampling.num_scales = 8
+  cfg.sampling.idx_rand = False
+
+  rng = np.random.default_rng(0)
+  a = rng.normal(size=(2048, 32))
+  np.savez_compressed(
+      tmp_path / "cifar10_fid_stats_clean.npz",
+      mu=rng.normal(size=2048), sigma=a @ a.T / 32 + 1e-3 * np.eye(2048))
+
+  with caplog.at_level(logging.INFO):
+    run_lib.evaluate(cfg, workdir, eval_folder="eval")
+
+  eval_dir = os.path.join(workdir, "eval")
+  assert os.path.exists(os.path.join(eval_dir, "report_all.npz"))
+  files = os.listdir(eval_dir)
+  assert any(f.startswith("samples_") and f.endswith(".npz")
+             for f in files), files
+  assert "nelbo bpd" in caplog.text
+  assert "NLL CORRECT" in caplog.text
+  assert "FID:" in caplog.text
+
+
+def test_eval_target_ckpt_redirects(tmp_path):
+  """`eval.target_ckpt` redirects loading from the rolling meta checkpoint
+  to a NUMBERED one (`/root/reference/utils.py:89-92`)."""
+  cfg = tiny_cfg(tmp_path)
+  workdir = str(tmp_path / "work")
+  run_lib.train(cfg, workdir)  # writes checkpoint_1 (step 3) + meta (step 3)
+
+  cfg.eval.target_ckpt = 1
+  state, _, _, _, meta = run_lib.load_model(cfg, workdir,
+                                            jax.random.PRNGKey(0))
+  assert meta.endswith("checkpoints/checkpoint_1.msgpack")
+  # checkpoint_1 is written at loop step 2 (counter 3) and re-written at
+  # the final step n_iters=3 with save_step=3//2=1 (counter 4) — the
+  # reference's `or step == num_train_steps` clause
+  # (`/root/reference/run_lib.py:109-114`)
+  assert int(state.step) == 4
+
+  cfg.eval.target_ckpt = 7  # nonexistent -> fresh state (reference
+  # restore_checkpoint returns the passed state when the file is missing)
+  state7, _, _, _, _ = run_lib.load_model(cfg, workdir,
+                                          jax.random.PRNGKey(0))
+  assert int(state7.step) == 0
+
+
+def test_ve_latent_data_mean(tmp_path):
+  """VE eval-time latent data-mean over the train set
+  (`/root/reference/run_lib.py:192-213`): flow-forward of every train
+  batch, no marginal_prob for VE, mean over num_train_data."""
+  cfg = tiny_cfg(tmp_path)
+  cfg.training.sde = "vesde"
+  cfg.training.num_train_data = 16
+  cfg.training.batch_size = 8
+  from indm_tpu import data as data_lib
+  from indm_tpu import sde as sde_lib
+  train_ds, _ = data_lib.get_dataset(cfg, evaluation=True)
+  sde = sde_lib.get_sde(cfg)
+  scaler = data_lib.get_data_scaler(cfg)
+  calls = []
+
+  def ff(batch):
+    calls.append(batch.shape)
+    return batch * 2.0, None
+
+  dm = run_lib._compute_latent_data_mean(cfg, sde, train_ds, scaler, ff)
+  assert dm.shape == (cfg.data.image_size, cfg.data.image_size,
+                      cfg.data.num_channels)
+  assert len(calls) == 2  # ceil(16 / 8) batches
+  assert bool(jnp.all(jnp.isfinite(dm)))
+
+
 def test_checkpoint_roundtrip(tmp_path):
   cfg = tiny_cfg(tmp_path)
   from indm_tpu.models import create_model

@@ -92,6 +92,13 @@ def get_default_configs(dataset: str = "CIFAR10") -> ml_collections.ConfigDict:
   # (f32 master params, f32 GroupNorm stats/output). Reference-faithful
   # default is pure f32; bench.py enables this for the TPU-first headline.
   model.mixed_precision = False
+  # Fused GroupNorm(+swish) Pallas kernel pair for the score nets
+  # (indm_tpu/ops/group_norm_pallas.py): one HBM read+write per norm+act
+  # instead of XLA's multi-pass fusions. Off by default: on the CIFAR-10
+  # NCSN++ geometry XLA's own fusions measure ~5% FASTER end-to-end
+  # (PERF.md round-4 negative result); the knob stays for geometries where
+  # GroupNorm is isolated from fusable neighbors.
+  model.fused_groupnorm = False
   model.sigma_min = 0.01
   model.sigma_max = 50 if dataset == "CIFAR10" else 90.0
   model.num_scales = 1000

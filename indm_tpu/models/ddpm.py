@@ -29,14 +29,13 @@ class _DDPMResBlock(nn.Module):
     in_ch = x.shape[-1]
     # reference uses num_groups=32 (always C>=128 there); min() keeps tiny
     # test configs valid with identical behavior at real widths.
-    h = self.act(nn.GroupNorm(num_groups=min(32, in_ch), epsilon=1e-6)(x))
+    h = layers.group_norm_act(x, self.act, num_groups=min(32, in_ch))
     h = layers.conv3x3(self.out_ch)(h)
     if temb is not None:
       h += nn.Dense(self.out_ch, kernel_init=layers.default_init(),
                     bias_init=nn.initializers.zeros)(
                         self.act(temb))[:, None, None, :]
-    h = self.act(nn.GroupNorm(num_groups=min(32, self.out_ch),
-                              epsilon=1e-6)(h))
+    h = layers.group_norm_act(h, self.act, num_groups=min(32, self.out_ch))
     h = nn.Dropout(self.dropout)(h, deterministic=not train)
     h = layers.conv3x3(self.out_ch, init_scale=0.0)(h)
     if in_ch != self.out_ch:
@@ -50,7 +49,7 @@ class _LegacyAttn(nn.Module):
   @nn.compact
   def __call__(self, x):
     B, H, W, C = x.shape
-    h = nn.GroupNorm(num_groups=min(32, C), epsilon=1e-6)(x)
+    h = layers.group_norm_act(x, None, num_groups=min(32, C))
     q = layers.NIN(C)(h)
     k = layers.NIN(C)(h)
     v = layers.NIN(C)(h)
@@ -68,6 +67,11 @@ class DDPM(nn.Module):
 
   @nn.compact
   def __call__(self, x, labels, train: bool = True):
+    fgn = bool(self.config.model.get("fused_groupnorm", False))
+    with layers.fused_groupnorm_scope(fgn):
+      return self._impl(x, labels, train)
+
+  def _impl(self, x, labels, train: bool = True):
     config = self.config
     act = layers.get_act(config.model.nonlinearity)
     nf = config.model.nf
@@ -128,8 +132,7 @@ class DDPM(nn.Module):
           h = layers.conv3x3(C)(h)
 
     assert not hs
-    h = act(nn.GroupNorm(num_groups=min(32, h.shape[-1]),
-                         epsilon=1e-6)(h))
+    h = layers.group_norm_act(h, act, num_groups=min(32, h.shape[-1]))
     h = layers.conv3x3(x.shape[-1], init_scale=0.0)(h)
 
     if config.model.scale_by_sigma:

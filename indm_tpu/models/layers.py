@@ -13,6 +13,7 @@ import math
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
+from flax.linen import normalization as _flax_norm
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -146,14 +147,133 @@ def fixed_fourier_projection(x):
   return jnp.concatenate([x, s1, c1, s2, c2], axis=-1)
 
 
-def group_norm(x_ch: int) -> nn.GroupNorm:
+# ---------------------------------------------------------------------------
+# Fused GroupNorm(+act) scope (TPU-first; no reference counterpart).
+#
+# When on (`model.fused_groupnorm`), GroupNorm — and, at `group_norm_act`
+# call sites, the following swish — executes as the one-pass Pallas kernel
+# pair in `indm_tpu/ops/group_norm_pallas.py` (one HBM read + one write per
+# pass instead of XLA's stats-read + normalize-read + write). Off by
+# default: the reference-faithful path is the exact flax GroupNorm math.
+# ---------------------------------------------------------------------------
+
+_FUSED_GROUPNORM = contextvars.ContextVar("fused_groupnorm", default=False)
+
+
+@contextlib.contextmanager
+def fused_groupnorm_scope(enabled: bool):
+  token = _FUSED_GROUPNORM.set(bool(enabled))
+  try:
+    yield
+  finally:
+    _FUSED_GROUPNORM.reset(token)
+
+
+def _fusable_act_name(act) -> Optional[str]:
+  """Map an activation callable to the fused kernel's `act` selector."""
+  if act is None:
+    return "none"
+  if act in (jax.nn.silu, jax.nn.swish):
+    return "swish"
+  return None
+
+
+class GroupNorm(nn.GroupNorm):
+  """flax `nn.GroupNorm` with an optional fused Pallas kernel path.
+
+  The class name is kept as "GroupNorm" so flax auto-naming produces the
+  same parameter tree (`GroupNorm_N/{scale,bias}`) as plain `nn.GroupNorm`
+  — checkpoints are interchangeable and the converter
+  (`models/convert.py`) is unaffected. When the fused-groupnorm scope is
+  off (the default), the math below is the verbatim flax 0.12 GroupNorm
+  body (same `_compute_stats`/`_normalize` helpers), bit-identical to the
+  parent class.
+
+  `fuse_act`: activation fused into the kernel ("none"|"swish") when the
+  scope is on; callers apply unfused activations themselves.
+  """
+  fuse_act: str = "none"
+
+  @nn.compact
+  def __call__(self, x, *, mask=None):
+    channels = x.shape[-1]
+    assert self.num_groups is not None and self.group_size is None
+    num_groups = self.num_groups
+    assert channels % num_groups == 0, (channels, num_groups)
+    group_size = channels // num_groups
+
+    from indm_tpu.ops import group_norm_pallas
+    interpret = jax.default_backend() != "tpu"
+    fuse = (_FUSED_GROUPNORM.get() and x.ndim == 4 and mask is None
+            and self.reduction_axes is None and self.axis_name is None
+            and self.use_bias and self.use_scale
+            # the real Mosaic lowering needs full-lane channels; narrow
+            # layers (and tiny test geometries) take the flax path
+            and (interpret or group_norm_pallas.supported_on_tpu(x)))
+    if fuse:
+      scale = self.param("scale", self.scale_init, (channels,),
+                         self.param_dtype)
+      bias = self.param("bias", self.bias_init, (channels,),
+                        self.param_dtype)
+      if self.dtype is not None:
+        # match flax `dtype=` semantics: f32 stats, stored act in dtype
+        x = x.astype(self.dtype)
+      return group_norm_pallas.fused_group_norm_act(
+          x, scale, bias, num_groups, eps=self.epsilon, act=self.fuse_act,
+          interpret=interpret)
+
+    # verbatim flax GroupNorm body (flax/linen/normalization.py)
+    if self.reduction_axes is not None:
+      reduction_axes = self.reduction_axes
+    else:
+      reduction_axes = list(range(1, x.ndim - 1)) + [-1]
+    reduction_axes = _flax_norm._canonicalize_axes(x.ndim, reduction_axes)
+    group_shape = x.shape[:-1] + (num_groups, group_size)
+    if mask is not None:
+      mask = mask.reshape(mask.shape[:-1] + (num_groups, group_size))
+    mean, var = _flax_norm._compute_stats(
+        x.reshape(group_shape),
+        list(reduction_axes[:-1]) + [-1],
+        self.dtype,
+        self.axis_name,
+        self.axis_index_groups,
+        use_fast_variance=self.use_fast_variance,
+        mask=mask,
+        force_float32_reductions=self.force_float32_reductions,
+    )
+    mean = jnp.repeat(mean, group_size, axis=-1)
+    var = jnp.repeat(var, group_size, axis=-1)
+    return _flax_norm._normalize(
+        self, x, mean, var, reduction_axes[:-1], (-1,),
+        self.dtype, self.param_dtype, self.epsilon,
+        self.use_bias, self.use_scale, self.bias_init, self.scale_init,
+        self.force_float32_reductions,
+    )
+
+
+def group_norm(x_ch: int, fuse_act: str = "none") -> GroupNorm:
   # dtype follows the mixed-precision scope: flax computes the statistics
   # in f32 regardless (`_compute_stats` promotes), so bf16 here only changes
   # the STORED activation dtype — halving the norm's HBM traffic and killing
   # the f32<->bf16 convert passes around every conv (xprof round 3: ~15 ms
   # of the 113 ms score step was convert/copy traffic at norm boundaries).
-  return nn.GroupNorm(num_groups=min(x_ch // 4, 32), epsilon=1e-6,
-                      dtype=compute_dtype())
+  return GroupNorm(num_groups=min(x_ch // 4, 32), epsilon=1e-6,
+                   dtype=compute_dtype(), fuse_act=fuse_act)
+
+
+def group_norm_act(x, act: Optional[Callable] = None,
+                   num_groups: Optional[int] = None):
+  """GroupNorm followed by an activation, fused into one Pallas pass when
+  the fused-groupnorm scope is on and the activation is fusable."""
+  c = x.shape[-1]
+  ng = num_groups if num_groups is not None else min(c // 4, 32)
+  name = _fusable_act_name(act)
+  fuse_act = name if (name is not None and _FUSED_GROUPNORM.get()) else "none"
+  y = GroupNorm(num_groups=ng, epsilon=1e-6, dtype=compute_dtype(),
+                fuse_act=fuse_act)(x)
+  if act is not None and fuse_act != "swish":
+    y = act(y)
+  return y
 
 
 class Combine(nn.Module):
@@ -300,14 +420,14 @@ class ResnetBlockDDPMpp(nn.Module):
   def __call__(self, x, temb=None, train: bool = True):
     in_ch = x.shape[-1]
     out_ch = self.out_ch or in_ch
-    h = self.act(group_norm(in_ch)(x))
+    h = group_norm_act(x, self.act)
     h = conv3x3(out_ch)(h)
     if temb is not None:
       h += nn.Dense(out_ch, kernel_init=default_init(),
                     bias_init=nn.initializers.zeros,
                     dtype=compute_dtype())(
                         self.act(temb))[:, None, None, :]
-    h = self.act(group_norm(out_ch)(h))
+    h = group_norm_act(h, self.act)
     h = nn.Dropout(self.dropout)(h, deterministic=not train)
     h = conv3x3(out_ch, init_scale=self.init_scale)(h)
     if in_ch != out_ch:
@@ -337,7 +457,7 @@ class ResnetBlockBigGANpp(nn.Module):
   def __call__(self, x, temb=None, train: bool = True):
     in_ch = x.shape[-1]
     out_ch = self.out_ch or in_ch
-    h = self.act(group_norm(in_ch)(x))
+    h = group_norm_act(x, self.act)
 
     if self.up:
       if self.fir:
@@ -360,7 +480,7 @@ class ResnetBlockBigGANpp(nn.Module):
                     bias_init=nn.initializers.zeros,
                     dtype=compute_dtype())(
                         self.act(temb))[:, None, None, :]
-    h = self.act(group_norm(out_ch)(h))
+    h = group_norm_act(h, self.act)
     h = nn.Dropout(self.dropout)(h, deterministic=not train)
     h = conv3x3(out_ch, init_scale=self.init_scale)(h)
 

@@ -36,7 +36,9 @@ class NCSNpp(nn.Module):
     # reference trains pure f32; this is the TPU-first headline config and
     # is off by default.
     mp = bool(self.config.model.get("mixed_precision", False))
-    with layers.compute_dtype_scope(jnp.bfloat16 if mp else None):
+    fgn = bool(self.config.model.get("fused_groupnorm", False))
+    with layers.compute_dtype_scope(jnp.bfloat16 if mp else None), \
+         layers.fused_groupnorm_scope(fgn):
       h = self._impl(x, time_cond, train)
     return h.astype(jnp.float32)
 
@@ -181,17 +183,17 @@ class NCSNpp(nn.Module):
       if progressive != "none":
         if i_level == num_resolutions - 1:
           if progressive == "output_skip":
-            pyramid = act(layers.group_norm(h.shape[-1])(h))
+            pyramid = layers.group_norm_act(h, act)
             pyramid = layers.conv3x3(x.shape[-1],
                                      init_scale=init_scale)(pyramid)
           elif progressive == "residual":
-            pyramid = act(layers.group_norm(h.shape[-1])(h))
+            pyramid = layers.group_norm_act(h, act)
             pyramid = layers.conv3x3(h.shape[-1])(pyramid)
         else:
           if progressive == "output_skip":
             pyramid = layers.Upsample(fir=fir, fir_kernel=fir_kernel,
                                       with_conv=False)(pyramid)
-            pyramid_h = act(layers.group_norm(h.shape[-1])(h))
+            pyramid_h = layers.group_norm_act(h, act)
             pyramid_h = layers.conv3x3(x.shape[-1],
                                        init_scale=init_scale)(pyramid_h)
             pyramid = pyramid + pyramid_h
@@ -217,7 +219,7 @@ class NCSNpp(nn.Module):
     if progressive == "output_skip":
       h = pyramid
     else:
-      h = act(layers.group_norm(h.shape[-1])(h))
+      h = layers.group_norm_act(h, act)
       h = layers.conv3x3(x.shape[-1], init_scale=init_scale)(h)
 
     if config.model.scale_by_sigma:

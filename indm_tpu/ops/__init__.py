@@ -10,3 +10,7 @@ from indm_tpu.ops.upfirdn2d import (
     setup_kernel,
 )
 from indm_tpu.ops.fused_act import fused_leaky_relu
+from indm_tpu.ops.group_norm_pallas import (
+    fused_group_norm_act,
+    group_norm_act_reference,
+)

@@ -13,21 +13,26 @@ multi-pass too — this module is the TPU-first replacement, not a port.
 Design: one forward kernel computes the group statistics, the normalize,
 and (optionally) the SiLU/swish activation in a single VMEM-resident pass
 per batch tile (one HBM read + one write instead of XLA's stats-read +
-normalize-read + write + separate act pass), and saves only the [N, G]
-mean/rstd rows for the backward. The backward kernel recomputes x-hat
-in-VMEM and emits dx plus the per-channel dscale/dbias accumulators in a
-single pass over (x, dy).
+normalize-read + write + separate act pass). The backward kernel
+RECOMPUTES the statistics from x in-VMEM (two cheap reductions over a
+tensor it must read anyway) and emits dx plus the per-channel
+dscale/dbias accumulators in a single pass over (x, dy) — no saved
+mean/rstd residuals at all, so the forward writes nothing but y.
 
-Group reductions across the lane (channel) dimension use a [C, G] one-hot
-matmul (channels are grouped contiguously, g = c // (C/G), matching flax's
-reshape semantics) — a 512x32 dot is effectively free on the MXU and
-avoids lane-dimension segment reductions, which the VPU cannot do.
+Group reductions across the lane (channel) dimension use a [C, C]
+block-diagonal group-AVERAGING matmul `P[i, j] = (i//gs == j//gs)/m`
+(channels are grouped contiguously, matching flax's reshape semantics):
+`stat_c = sums @ P` lands directly back on channels. This keeps every
+in-kernel array at full lane width — narrow [N, G] vectors are exactly
+what Mosaic's layout inference rejects on TPU (relayout of replicated
+sub-128-lane vectors), and a CxC dot is effectively free on the MXU.
 
 Numerics: all arithmetic in f32 (stats, normalize, activation), output
 cast to the input dtype — matching flax's `nn.GroupNorm(dtype=bf16)`
-behavior of f32 statistics with a bf16 stored activation. Gated behind
+behavior of f32 statistics with a bf16 stored activation. Wired into the
+score nets via `models/layers.py:GroupNorm`/`group_norm_act`, gated behind
 `model.fused_groupnorm` (off by default; the reference-faithful path
-remains flax `nn.GroupNorm`).
+remains the flax GroupNorm math).
 """
 
 from __future__ import annotations
@@ -51,12 +56,13 @@ def _pick_batch_tile(n: int, hw: int) -> int:
   return max(nb, 1)
 
 
-def _group_onehot(c: int, g: int, dtype=jnp.float32):
-  """[C, G] one-hot: M[ch, grp] = 1 iff ch // (C/G) == grp."""
+def _group_avg_matrix(c: int, g: int, m: float, dtype=jnp.float32):
+  """[C, C] block-diagonal group-averaging matrix:
+  P[i, j] = 1/m iff i // (C/G) == j // (C/G)."""
   cs = c // g
-  ch = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
-  grp = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
-  return (ch // cs == grp).astype(dtype)
+  i = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+  j = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+  return jnp.where(i // cs == j // cs, 1.0 / m, 0.0).astype(dtype)
 
 
 def _silu(u):
@@ -69,25 +75,29 @@ def _silu_grad(u):
   return s * (1.0 + u * (1.0 - s))
 
 
-def _fwd_kernel(x_ref, scale_ref, bias_ref, y_ref, mean_ref, rstd_ref,
-                *, num_groups: int, eps: float, act: str):
-  nb, h, w, c = x_ref.shape
-  hw = h * w
-  m = hw * (c // num_groups)
-  xf = x_ref[...].reshape(nb, hw, c).astype(jnp.float32)
-  onehot = _group_onehot(c, num_groups)
+def _stats(xf, num_groups: int, eps: float):
+  """Per-channel broadcast group mean/rstd of [NB, HW, C] f32 input."""
+  _, hw, c = xf.shape
+  m = float(hw * (c // num_groups))
+  p = _group_avg_matrix(c, num_groups, m)
   s1 = jnp.sum(xf, axis=1)                     # [NB, C]
   s2 = jnp.sum(xf * xf, axis=1)
-  gs1 = jnp.dot(s1, onehot, preferred_element_type=jnp.float32)  # [NB, G]
-  gs2 = jnp.dot(s2, onehot, preferred_element_type=jnp.float32)
-  mean = gs1 / m
-  var = gs2 / m - mean * mean
-  rstd = jax.lax.rsqrt(var + eps)
-  mean_ref[...] = mean
-  rstd_ref[...] = rstd
-  # broadcast per-group stats back to channels: [NB, C]
-  mean_c = jnp.dot(mean, onehot.T, preferred_element_type=jnp.float32)
-  rstd_c = jnp.dot(rstd, onehot.T, preferred_element_type=jnp.float32)
+  hi = jax.lax.Precision.HIGHEST                # f32 MXU passes: the
+  # E[x^2] - mean^2 cancellation is catastrophic at bf16 mantissa
+  mean_c = jnp.dot(s1, p, preferred_element_type=jnp.float32,
+                   precision=hi)              # [NB, C]
+  ex2_c = jnp.dot(s2, p, preferred_element_type=jnp.float32,
+                   precision=hi)
+  var_c = ex2_c - mean_c * mean_c
+  rstd_c = jax.lax.rsqrt(var_c + eps)
+  return mean_c, rstd_c
+
+
+def _fwd_kernel(x_ref, scale_ref, bias_ref, y_ref,
+                *, num_groups: int, eps: float, act: str):
+  nb, h, w, c = x_ref.shape
+  xf = x_ref[...].reshape(nb, h * w, c).astype(jnp.float32)
+  mean_c, rstd_c = _stats(xf, num_groups, eps)
   a = rstd_c * scale_ref[...]                  # [1,C] bias_ref broadcasting
   b = bias_ref[...] - mean_c * a
   u = xf * a[:, None, :] + b[:, None, :]
@@ -96,7 +106,7 @@ def _fwd_kernel(x_ref, scale_ref, bias_ref, y_ref, mean_ref, rstd_ref,
   y_ref[...] = u.reshape(nb, h, w, c).astype(y_ref.dtype)
 
 
-def _bwd_kernel(x_ref, dy_ref, scale_ref, bias_ref, mean_ref, rstd_ref,
+def _bwd_kernel(x_ref, dy_ref, scale_ref, bias_ref,
                 dx_ref, dscale_ref, dbias_ref,
                 *, num_groups: int, eps: float, act: str):
   nb, h, w, c = x_ref.shape
@@ -104,11 +114,7 @@ def _bwd_kernel(x_ref, dy_ref, scale_ref, bias_ref, mean_ref, rstd_ref,
   m = float(hw * (c // num_groups))
   xf = x_ref[...].reshape(nb, hw, c).astype(jnp.float32)
   dyf = dy_ref[...].reshape(nb, hw, c).astype(jnp.float32)
-  onehot = _group_onehot(c, num_groups)
-  mean = mean_ref[...]                         # [NB, G]
-  rstd = rstd_ref[...]
-  mean_c = jnp.dot(mean, onehot.T, preferred_element_type=jnp.float32)
-  rstd_c = jnp.dot(rstd, onehot.T, preferred_element_type=jnp.float32)
+  mean_c, rstd_c = _stats(xf, num_groups, eps)   # recomputed, bit-identical
   xhat = (xf - mean_c[:, None, :]) * rstd_c[:, None, :]
   scale = scale_ref[...]                       # [1, C]
   bias = bias_ref[...]
@@ -117,9 +123,11 @@ def _bwd_kernel(x_ref, dy_ref, scale_ref, bias_ref, mean_ref, rstd_ref,
     g = dyf * _silu_grad(u)
   else:
     g = dyf
-  # parameter grads (accumulated across grid cells)
-  db = jnp.sum(jnp.sum(g, axis=1), axis=0, keepdims=True)          # [1, C]
-  ds = jnp.sum(jnp.sum(g * xhat, axis=1), axis=0, keepdims=True)   # [1, C]
+  # parameter grads (accumulated across grid cells). Single fused (0,1)
+  # reduces: the nested sum-then-axis-0-sum variant crashes the Mosaic
+  # compile helper outright when nb > 1 (no diagnostic, exit code 1).
+  db = jnp.sum(g, axis=(0, 1)).reshape(1, c)                       # [1, C]
+  ds = jnp.sum(g * xhat, axis=(0, 1)).reshape(1, c)                # [1, C]
 
   @pl.when(pl.program_id(0) == 0)
   def _():
@@ -129,13 +137,13 @@ def _bwd_kernel(x_ref, dy_ref, scale_ref, bias_ref, mean_ref, rstd_ref,
   dscale_ref[...] += ds
   dbias_ref[...] += db
   # dx = rstd * (g*scale - mean_grp(g*scale) - xhat * mean_grp(g*scale*xhat))
+  p = _group_avg_matrix(c, num_groups, m)
   gg = g * scale[:, None, :]
   p1 = jnp.sum(gg, axis=1)                     # [NB, C]
   p2 = jnp.sum(gg * xhat, axis=1)
-  p1g = jnp.dot(p1, onehot, preferred_element_type=jnp.float32) / m
-  p2g = jnp.dot(p2, onehot, preferred_element_type=jnp.float32) / m
-  p1c = jnp.dot(p1g, onehot.T, preferred_element_type=jnp.float32)
-  p2c = jnp.dot(p2g, onehot.T, preferred_element_type=jnp.float32)
+  hi = jax.lax.Precision.HIGHEST
+  p1c = jnp.dot(p1, p, preferred_element_type=jnp.float32, precision=hi)
+  p2c = jnp.dot(p2, p, preferred_element_type=jnp.float32, precision=hi)
   dx = rstd_c[:, None, :] * (gg - p1c[:, None, :] - xhat * p2c[:, None, :])
   dx_ref[...] = dx.reshape(nb, h, w, c).astype(dx_ref.dtype)
 
@@ -146,64 +154,39 @@ def _fwd_call(x, scale2d, bias2d, *, num_groups, eps, act, interpret):
   grid = (n // nb,)
   kern = functools.partial(_fwd_kernel, num_groups=num_groups, eps=eps,
                            act=act)
-  y, mean, rstd = pl.pallas_call(
+  xy_spec = pl.BlockSpec((nb, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+  return pl.pallas_call(
       kern,
       grid=grid,
       in_specs=[
-          pl.BlockSpec((nb, h, w, c), lambda i: (i, 0, 0, 0),
-                       memory_space=pltpu.VMEM),
+          xy_spec,
           pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
           pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
       ],
-      out_specs=[
-          pl.BlockSpec((nb, h, w, c), lambda i: (i, 0, 0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((nb, num_groups), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((nb, num_groups), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM),
-      ],
-      out_shape=[
-          jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
-          jax.ShapeDtypeStruct((n, num_groups), jnp.float32),
-          jax.ShapeDtypeStruct((n, num_groups), jnp.float32),
-      ],
+      out_specs=xy_spec,
+      out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("arbitrary",),
           vmem_limit_bytes=64 * 1024 * 1024),
       interpret=interpret,
   )(x, scale2d, bias2d)
-  return y, mean, rstd
 
 
-def _bwd_call(x, dy, scale2d, bias2d, mean, rstd,
-              *, num_groups, eps, act, interpret):
+def _bwd_call(x, dy, scale2d, bias2d, *, num_groups, eps, act, interpret):
   n, h, w, c = x.shape
   nb = _pick_batch_tile(n, h * w)
   grid = (n // nb,)
   kern = functools.partial(_bwd_kernel, num_groups=num_groups, eps=eps,
                            act=act)
+  xy_spec = pl.BlockSpec((nb, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+  vec_spec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
   dx, dscale, dbias = pl.pallas_call(
       kern,
       grid=grid,
-      in_specs=[
-          pl.BlockSpec((nb, h, w, c), lambda i: (i, 0, 0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((nb, h, w, c), lambda i: (i, 0, 0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-          pl.BlockSpec((nb, num_groups), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((nb, num_groups), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM),
-      ],
-      out_specs=[
-          pl.BlockSpec((nb, h, w, c), lambda i: (i, 0, 0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-      ],
+      in_specs=[xy_spec, xy_spec, vec_spec, vec_spec],
+      out_specs=[xy_spec, vec_spec, vec_spec],
       out_shape=[
           jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
           jax.ShapeDtypeStruct((1, c), jnp.float32),
@@ -213,7 +196,7 @@ def _bwd_call(x, dy, scale2d, bias2d, mean, rstd,
           dimension_semantics=("arbitrary",),
           vmem_limit_bytes=96 * 1024 * 1024),
       interpret=interpret,
-  )(x, dy, scale2d, bias2d, mean, rstd)
+  )(x, dy, scale2d, bias2d)
   return dx, dscale[0], dbias[0]
 
 
@@ -228,21 +211,20 @@ def _get(cfg):
 
   @jax.custom_vjp
   def op(x, scale, bias):
-    y, _, _ = _fwd_call(x, scale[None, :], bias[None, :],
-                        num_groups=num_groups, eps=eps, act=act,
-                        interpret=interpret)
-    return y
+    return _fwd_call(x, scale[None, :], bias[None, :],
+                     num_groups=num_groups, eps=eps, act=act,
+                     interpret=interpret)
 
   def op_fwd(x, scale, bias):
-    y, mean, rstd = _fwd_call(x, scale[None, :], bias[None, :],
-                              num_groups=num_groups, eps=eps, act=act,
-                              interpret=interpret)
-    return y, (x, scale, bias, mean, rstd)
+    y = _fwd_call(x, scale[None, :], bias[None, :],
+                  num_groups=num_groups, eps=eps, act=act,
+                  interpret=interpret)
+    return y, (x, scale, bias)
 
   def op_bwd(res, dy):
-    x, scale, bias, mean, rstd = res
+    x, scale, bias = res
     dx, dscale, dbias = _bwd_call(
-        x, dy, scale[None, :], bias[None, :], mean, rstd,
+        x, dy, scale[None, :], bias[None, :],
         num_groups=num_groups, eps=eps, act=act, interpret=interpret)
     return dx, dscale, dbias
 
@@ -258,12 +240,18 @@ def fused_group_norm_act(x, scale, bias, num_groups: int,
 
   scale/bias: f32 [C] (flax `nn.GroupNorm` param shapes). Statistics and
   arithmetic in f32; returns x.dtype. Differentiable w.r.t. x/scale/bias
-  via the analytic one-pass backward kernel.
+  via the analytic one-pass backward kernel (stats recomputed in-VMEM).
   """
   assert act in _ACTS, act
   assert x.ndim == 4 and x.shape[-1] % num_groups == 0
   op = _get((int(num_groups), float(eps), act, bool(interpret)))
   return op(x, scale.astype(jnp.float32), bias.astype(jnp.float32))
+
+
+def supported_on_tpu(x) -> bool:
+  """Whether the real (non-interpret) TPU lowering handles this geometry:
+  full-lane channel dim so no sub-128-lane vectors appear in-kernel."""
+  return x.ndim == 4 and x.shape[-1] % 128 == 0
 
 
 def group_norm_act_reference(x, scale, bias, num_groups: int,

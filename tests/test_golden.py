@@ -41,22 +41,25 @@ def _batch():
 
 GOLDEN = {
     # (losses, losses_score, losses_flow, losses_logp) means
-    "nll": (13.530796, 11.801676, 0.286158, 1.442962),
-    "fid": (13.530796, 0.499846, 0.286158, 1.442962),
+    # (re-recorded after the round-5 ResNet stride-2 padding fix in the
+    # wolf encoder — torch conv3x3 pads 1/1 at any stride, flax SAME was
+    # padding 0/1; the flow/KL terms shifted accordingly)
+    "nll": (13.507109, 11.801678, 0.262468, 1.442963),
+    "fid": (13.507109, 0.499847, 0.262468, 1.442963),
     # num_micro_batch=2: grads are SUMMED over two half-batch mean-grads
     # (`losses.py:246-251` accumulation semantics), rng keys split per micro
-    "nll_micro2": (13.769846, 12.025790, 0.305022, 1.439034),
-    "fid_micro2": (13.769846, 0.524903, 0.305022, 1.439034),
+    "nll_micro2": (13.759600, 12.025796, 0.294769, 1.439034),
+    "fid_micro2": (13.759600, 0.524903, 0.294769, 1.439034),
     "score": 11.432556,
 }
 
 # L2 norms of the UPDATED parameter pytrees — catches optimizer/EMA/update
 # regressions the loss means can't see (round-1 verdict weak #3).
 GOLDEN_PNORM = {
-    "nll": (23.548092, 87.024765),
-    "fid": (23.548100, 87.024765),
-    "nll_micro2": (23.548092, 87.024246),
-    "fid_micro2": (23.548124, 87.024246),
+    "nll": (23.548054, 87.026047),
+    "fid": (23.548098, 87.026047),
+    "nll_micro2": (23.548088, 87.025703),
+    "fid_micro2": (23.548126, 87.025703),
 }
 
 

@@ -135,8 +135,10 @@ def test_joint_sharded_matches_single_device(nll, devices):
                        (fs1.buffers, fs8.buffers)):
     for a, b in zip(jax.tree_util.tree_leaves(tree1),
                     jax.tree_util.tree_leaves(tree8)):
+      # atol absorbs GSPMD reduction-order noise on near-zero leaves (the
+      # sharded all-reduce sums in a different order than one device)
       np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
-                                 atol=1e-5)
+                                 atol=1e-4)
 
 
 def test_joint_nelbo_with_flow():

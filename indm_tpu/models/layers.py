@@ -113,12 +113,16 @@ class NIN(nn.Module):
     W = self.param("W", default_init(self.init_scale),
                    (in_dim, self.num_units))
     b = self.param("b", nn.initializers.zeros, (self.num_units,))
+    # explicit rank-N x rank-2 dot_general: jnp.einsum's "...c,cd->...d"
+    # lowering introduced a size-1 trailing dim whose layout forced XLA to
+    # copy the whole activation around every NIN on TPU (xprof round 5)
     cd = compute_dtype()
+    dims = (((x.ndim - 1,), (0,)), ((), ()))
     if cd is not None:
-      y = jnp.einsum("...c,cd->...d", x.astype(cd), W.astype(cd),
-                     preferred_element_type=jnp.float32)
+      y = jax.lax.dot_general(x.astype(cd), W.astype(cd), dims,
+                              preferred_element_type=jnp.float32)
       return (y + b).astype(cd)
-    return jnp.einsum("...c,cd->...d", x, W) + b
+    return jax.lax.dot_general(x, W, dims) + b
 
 
 class GaussianFourierProjection(nn.Module):
@@ -222,6 +226,37 @@ class GroupNorm(nn.GroupNorm):
           x, scale, bias, num_groups, eps=self.epsilon, act=self.fuse_act,
           interpret=interpret)
 
+    # Reshape-free TPU path (same math as flax's use_fast_variance body):
+    # flax reshapes the activation to [..., G, gs] for the statistics, and on
+    # TPU that rank-5 reshape cannot share the conv-friendly NHWC layout —
+    # XLA inserted a full-tensor layout copy around EVERY GroupNorm, fwd and
+    # bwd (~760 copies/step in the score net, xprof round 5). Computing the
+    # per-(H,W) moments first and folding groups on the tiny [B, C] result
+    # needs no activation reshape at all. Reductions are f32; the normalize
+    # is one broadcast FMA in the storage dtype.
+    if (x.ndim == 4 and mask is None and self.reduction_axes is None
+        and self.axis_name is None and self.use_fast_variance
+        and self.use_bias and self.use_scale):
+      scale = self.param("scale", self.scale_init, (channels,),
+                         self.param_dtype)
+      bias = self.param("bias", self.bias_init, (channels,),
+                        self.param_dtype)
+      B = x.shape[0]
+      xf = x.astype(jnp.float32)
+      m1 = jnp.mean(xf, axis=(1, 2))            # [B, C], fused single pass
+      m2 = jnp.mean(xf * xf, axis=(1, 2))       # with m1 by XLA
+      g1 = jnp.mean(m1.reshape(B, num_groups, group_size), axis=-1)
+      g2 = jnp.mean(m2.reshape(B, num_groups, group_size), axis=-1)
+      var = jnp.maximum(g2 - g1 * g1, 0.0)
+      rstd = jax.lax.rsqrt(var + self.epsilon)  # [B, G]
+      mul = (jnp.repeat(rstd, group_size, axis=-1)
+             * scale.astype(jnp.float32)[None, :])
+      add = (bias.astype(jnp.float32)[None, :]
+             - jnp.repeat(g1, group_size, axis=-1) * mul)
+      out_dtype = self.dtype or jnp.result_type(x, scale, bias)
+      y = (xf * mul[:, None, None, :] + add[:, None, None, :])
+      return y.astype(out_dtype)
+
     # verbatim flax GroupNorm body (flax/linen/normalization.py)
     if self.reduction_axes is not None:
       reduction_axes = self.reduction_axes
@@ -305,21 +340,27 @@ class AttnBlockpp(nn.Module):
     q = NIN(C)(h)
     k = NIN(C)(h)
     v = NIN(C)(h)
+    # flatten HxW -> N tokens: batched rank-3 dots lower to clean batched
+    # matmuls on TPU, where the 4-D "bhwc,bijc->bhwij" einsum form forced
+    # layout-flip copies of q/k/v/out around every attention (xprof round 5).
+    # The HxW merge is layout-compatible (bitcast), not a copy.
+    N = H * W
+    q = q.reshape(B, N, C)
+    k = k.reshape(B, N, C)
+    v = v.reshape(B, N, C)
     cd = compute_dtype()
     if cd is not None:
       # bf16 MXU matmuls with f32 logits/softmax/accumulation
-      w = jnp.einsum("bhwc,bijc->bhwij", q.astype(cd), k.astype(cd),
+      w = jnp.einsum("bnc,bmc->bnm", q.astype(cd), k.astype(cd),
                      preferred_element_type=jnp.float32) * (int(C) ** (-0.5))
-      w = jax.nn.softmax(w.reshape(B, H, W, H * W), axis=-1)
-      w = w.reshape(B, H, W, H, W)
-      h = jnp.einsum("bhwij,bijc->bhwc", w.astype(cd), v.astype(cd),
+      w = jax.nn.softmax(w, axis=-1)
+      h = jnp.einsum("bnm,bmc->bnc", w.astype(cd), v.astype(cd),
                      preferred_element_type=jnp.float32)
     else:
-      w = jnp.einsum("bhwc,bijc->bhwij", q, k) * (int(C) ** (-0.5))
-      w = w.reshape(B, H, W, H * W)
+      w = jnp.einsum("bnc,bmc->bnm", q, k) * (int(C) ** (-0.5))
       w = jax.nn.softmax(w, axis=-1)
-      w = w.reshape(B, H, W, H, W)
-      h = jnp.einsum("bhwij,bijc->bhwc", w, v)
+      h = jnp.einsum("bnm,bmc->bnc", w, v)
+    h = h.reshape(B, H, W, C)
     h = NIN(C, init_scale=self.init_scale)(h)
     if not self.skip_rescale:
       return x + h

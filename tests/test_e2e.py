@@ -12,6 +12,10 @@ from indm_tpu import checkpoint as ckpt_lib
 from indm_tpu import run_lib, state as state_lib
 from indm_tpu.configs import get_config
 
+# Multi-minute full-loop tests; the fast subset covers the train/eval loop
+# pieces through test_train_step/test_joint/test_checkpoint instead.
+pytestmark = pytest.mark.slow
+
 
 def tiny_cfg(tmp):
   cfg = get_config("vp/CIFAR10/indm_nll")

@@ -30,8 +30,13 @@ import jax.numpy as jnp
 
 REF = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference checkout not available")
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(REF),
+                       reason="reference checkout not available"),
+    # torch-vs-jax numerical parity reruns whole reference modules on CPU;
+    # multi-minute. The fast subset covers the same code via the jnp oracles.
+    pytest.mark.slow,
+]
 
 
 # ---------------------------------------------------------------------------

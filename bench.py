@@ -74,6 +74,10 @@ def main():
   # result) — kept as a knob for other geometries.
   cfg.model.fused_groupnorm = bool(int(os.environ.get("BENCH_FUSED_GN",
                                                       "0")))
+  # hardware-rng dropout masks (statistically equivalent, not bit-stable
+  # across shardings; indm_tpu/models/layers.py:Dropout).
+  cfg.model.fast_dropout = bool(int(os.environ.get("BENCH_FAST_DROPOUT",
+                                                   "1")))
 
   rng = jax.random.PRNGKey(0)
   module, variables = create_model(cfg, rng)
@@ -318,6 +322,7 @@ def main():
     # gives the f32/flax-GroupNorm score net for the faithful measurement
     cfg.model.mixed_precision = False
     cfg.model.fused_groupnorm = False
+    cfg.model.fast_dropout = False
     flow_f32 = create_flow_model(cfg)
     fs32 = state_lib.init_train_state(
         cfg, *flow_f32.init(jax.random.PRNGKey(1)), flow_opt,

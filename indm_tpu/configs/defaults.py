@@ -99,6 +99,11 @@ def get_default_configs(dataset: str = "CIFAR10") -> ml_collections.ConfigDict:
   # (PERF.md round-4 negative result); the knob stays for geometries where
   # GroupNorm is isolated from fusable neighbors.
   model.fused_groupnorm = False
+  # Dropout masks from XLA's hardware rng-bit-generator instead of
+  # threefry (models/layers.py:Dropout). Off by default: threefry masks
+  # are bit-stable across shardings; rbg is ~an order of magnitude
+  # cheaper on TPU (bench.py enables it for the TPU-first headline).
+  model.fast_dropout = False
   model.sigma_min = 0.01
   model.sigma_max = 50 if dataset == "CIFAR10" else 90.0
   model.num_scales = 1000

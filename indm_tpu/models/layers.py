@@ -69,6 +69,56 @@ def compute_dtype_scope(dtype):
     _COMPUTE_DTYPE.reset(token)
 
 
+_FAST_DROPOUT = contextvars.ContextVar("fast_dropout", default=False)
+
+
+@contextlib.contextmanager
+def fast_dropout_scope(enabled: bool):
+  token = _FAST_DROPOUT.set(bool(enabled))
+  try:
+    yield
+  finally:
+    _FAST_DROPOUT.reset(token)
+
+
+class Dropout(nn.Module):
+  """`nn.Dropout` with an optional cheap-mask path (TPU-first knob).
+
+  Default (scope off): bit-identical masks to flax `nn.Dropout` — the
+  same `make_rng("dropout")` fold at the same module path feeds the same
+  threefry bernoulli draw. Threefry masks are deterministic under GSPMD
+  sharding (sharded == single-device, asserted in `tests/test_joint.py`).
+
+  Fast path (`model.fast_dropout`, bench headline config): mask bits come
+  from XLA's hardware `rng-bit-generator` (`rbg`) seeded from the same
+  folded key. xprof (round 5) showed the threefry mask generation fused
+  into the hot convs/wgrads of every resblock at ~4-6 ms/step; rbg is an
+  order of magnitude cheaper. rbg bit streams are not guaranteed stable
+  across shardings/backends — statistically equivalent dropout, not
+  bit-reproducible across topology changes, hence opt-in.
+
+  Both paths apply the mask in the activation's own dtype (flax's
+  `x / keep` upcast to f32 doubled the mask-multiply's HBM traffic under
+  mixed precision).
+  """
+  rate: float
+
+  @nn.compact
+  def __call__(self, x, deterministic: bool = False):
+    if deterministic or self.rate == 0.0:
+      return x
+    rng = self.make_rng("dropout")
+    keep = 1.0 - self.rate
+    if _FAST_DROPOUT.get():
+      data = jnp.ravel(jax.random.key_data(rng)).astype(jnp.uint32)[:2]
+      rbg = jax.random.wrap_key_data(jnp.tile(data, 2), impl="rbg")
+      mask = jax.random.bernoulli(rbg, keep, x.shape)
+      scale = jnp.asarray(1.0 / keep, x.dtype)
+      return jnp.where(mask, x * scale, jnp.zeros((), x.dtype))
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros((), x.dtype))
+
+
 def conv3x3(out_ch: int, init_scale: float = 1.0, stride: int = 1,
             bias: bool = True, padding="SAME", name=None) -> nn.Conv:
   """3x3 conv with DDPM init (`models/layers.py:118-124`)."""
@@ -469,7 +519,7 @@ class ResnetBlockDDPMpp(nn.Module):
                     dtype=compute_dtype())(
                         self.act(temb))[:, None, None, :]
     h = group_norm_act(h, self.act)
-    h = nn.Dropout(self.dropout)(h, deterministic=not train)
+    h = Dropout(self.dropout)(h, deterministic=not train)
     h = conv3x3(out_ch, init_scale=self.init_scale)(h)
     if in_ch != out_ch:
       if self.conv_shortcut:
@@ -522,7 +572,7 @@ class ResnetBlockBigGANpp(nn.Module):
                     dtype=compute_dtype())(
                         self.act(temb))[:, None, None, :]
     h = group_norm_act(h, self.act)
-    h = nn.Dropout(self.dropout)(h, deterministic=not train)
+    h = Dropout(self.dropout)(h, deterministic=not train)
     h = conv3x3(out_ch, init_scale=self.init_scale)(h)
 
     if in_ch != out_ch or self.up or self.down:

@@ -37,8 +37,10 @@ class NCSNpp(nn.Module):
     # is off by default.
     mp = bool(self.config.model.get("mixed_precision", False))
     fgn = bool(self.config.model.get("fused_groupnorm", False))
+    fdo = bool(self.config.model.get("fast_dropout", False))
     with layers.compute_dtype_scope(jnp.bfloat16 if mp else None), \
-         layers.fused_groupnorm_scope(fgn):
+         layers.fused_groupnorm_scope(fgn), \
+         layers.fast_dropout_scope(fdo):
       h = self._impl(x, time_cond, train)
     return h.astype(jnp.float32)
 

@@ -40,6 +40,8 @@ def main():
   cfg.flow.fused_block = bool(int(os.environ.get("BENCH_FUSED_BLOCK", "1")))
   cfg.model.mixed_precision = bool(int(os.environ.get("BENCH_SCORE_MP",
                                                       "1")))
+  cfg.model.fast_dropout = bool(int(os.environ.get("BENCH_FAST_DROPOUT",
+                                                   "1")))
 
   if os.environ.get("BENCH_FLOW"):
     cfg.flow.model = os.environ["BENCH_FLOW"]

@@ -107,6 +107,46 @@ def test_dropout_rng_changes_train_output():
   assert not np.allclose(np.asarray(o1), np.asarray(o2))
 
 
+def test_fast_dropout_semantics():
+  """`model.fast_dropout` (hardware-rng masks): the layer keeps ~keep_prob
+  of the entries, scales survivors by 1/keep in the input dtype, is
+  deterministic per key, and the layer defaults to flax-bitwise behavior
+  when the scope is off."""
+  import flax.linen as nn
+
+  from indm_tpu.models import layers
+
+  x = jnp.asarray(np.random.default_rng(0).normal(
+      size=(16, 8, 8, 32)).astype(np.float32))
+
+  class Blk(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+      return layers.Dropout(0.1)(x, deterministic=False)
+
+  class Ref(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+      return nn.Dropout(0.1)(x, deterministic=False)
+
+  key = jax.random.PRNGKey(7)
+  # scope off: bit-identical to flax nn.Dropout (same rng fold, same mask)
+  y_ref = Ref().apply({}, x, rngs={"dropout": key})
+  y_def = Blk().apply({}, x, rngs={"dropout": key})
+  assert np.array_equal(np.asarray(y_ref), np.asarray(y_def))
+
+  with layers.fast_dropout_scope(True):
+    y1 = Blk().apply({}, x, rngs={"dropout": key})
+    y2 = Blk().apply({}, x, rngs={"dropout": key})
+    y3 = Blk().apply({}, x, rngs={"dropout": jax.random.PRNGKey(8)})
+  np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+  assert not np.array_equal(np.asarray(y1), np.asarray(y3))
+  kept = np.asarray(y1) != 0
+  assert 0.85 < kept.mean() < 0.95
+  np.testing.assert_allclose(np.asarray(y1)[kept],
+                             (np.asarray(x) / 0.9)[kept], rtol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # Normalization zoo (`/root/reference/models/normalization.py:22-155`)
 # ---------------------------------------------------------------------------

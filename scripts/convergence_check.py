@@ -53,6 +53,7 @@ def main():
     cfg.flow.logdet_pallas = headline
     cfg.flow.fused_block = headline
     cfg.model.mixed_precision = headline
+    cfg.model.fast_dropout = headline
     return cfg
 
   def run(headline: bool):

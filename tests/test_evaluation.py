@@ -112,6 +112,7 @@ def _harness_setup(tmp_path, **overrides):
   return cfg, eval_ds, scaler, nelbo_fn, nll_fn, score_fn
 
 
+@pytest.mark.slow
 def test_bpd_harness_all_four_sections(tmp_path, caplog):
   """eval.truncation_time override + the 'NLL correct w/ eps = training
   truncation_time' fourth pass (`/root/reference/evaluation.py:437-493`)."""

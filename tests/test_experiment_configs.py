@@ -22,12 +22,17 @@ from indm_tpu.configs import get_config
 from indm_tpu.flows.flow_model import create_flow_model
 from indm_tpu.models import create_model
 
+_slow = pytest.mark.slow
+
+# one representative config (ve/CELEBA — covers the VE+FIR score branches
+# AND the 64x64 wolf flow JSON in one go) stays in the fast subset; the
+# other five joint-step compiles (~70-95 s each on CPU) are `slow`
 ALL_EXPERIMENTS = [
-    "vp/CIFAR10/indm_nll",
-    "vp/CIFAR10/indm_fid",
-    "vp/CELEBA/indm_nll",
-    "vp/CELEBA/indm_fid",
-    "ve/CIFAR10/indm",
+    pytest.param("vp/CIFAR10/indm_nll", marks=_slow),
+    pytest.param("vp/CIFAR10/indm_fid", marks=_slow),
+    pytest.param("vp/CELEBA/indm_nll", marks=_slow),
+    pytest.param("vp/CELEBA/indm_fid", marks=_slow),
+    pytest.param("ve/CIFAR10/indm", marks=_slow),
     "ve/CELEBA/indm",
 ]
 

@@ -13,6 +13,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+import pytest
+
+# the driver compile-checks both entry points on every round; in-suite
+# they are full joint-step compiles (~3 min) -> slow
+pytestmark = pytest.mark.slow
 
 
 def test_dryrun_multichip_runs_on_virtual_mesh():

@@ -110,7 +110,9 @@ def test_joint_fid_step():
   assert _param_delta(fs.params, fs2.params) > 0
 
 
-@pytest.mark.parametrize("nll", [True, False], ids=["nll", "fid"])
+@pytest.mark.parametrize(
+    "nll", [True, pytest.param(False, marks=pytest.mark.slow)],
+    ids=["nll", "fid"])
 def test_joint_sharded_matches_single_device(nll, devices):
   """The full joint step (two optimizers, Lipschitz converge, wolf encoder
   BatchNorm threading) must produce identical params, buffers, and losses

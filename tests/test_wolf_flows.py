@@ -68,6 +68,7 @@ def test_masked_conv_flow_is_autoregressive():
                              np.asarray((y2 - x2)[:, :4]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_macow_roundtrip():
   g = MaCow(levels=2, num_steps=[1, 1], in_channels=3, factors=[],
             hidden_channels=[8, 8], kernel_size=(2, 3))
